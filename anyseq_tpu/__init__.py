@@ -7,6 +7,17 @@ full-matrix-traceback and linear-memory (Hirschberg) modes; single-chip
 Pallas wavefront kernels, many-pair batched mode, and multi-chip
 subject-sharded wavefronts over a JAX device mesh.
 """
+import os as _os
+
+# Compiles in this environment can be slow and high-variance; a persistent
+# compilation cache amortizes them across processes. Opt out by setting
+# ANYSEQ_TPU_NO_COMPILE_CACHE=1 or your own JAX_COMPILATION_CACHE_DIR.
+if not _os.environ.get("ANYSEQ_TPU_NO_COMPILE_CACHE"):
+    _os.environ.setdefault(
+        "JAX_COMPILATION_CACHE_DIR",
+        _os.path.expanduser("~/.cache/anyseq_tpu/jax"),
+    )
+
 from anyseq_tpu.core.types import (
     Alignment,
     AffineScoring,

@@ -1,0 +1,213 @@
+"""Batched many-pair alignment engine.
+
+The reference aligns exactly one pair per process (main.cpp:180-211); batched
+many-pair alignment is a new capability called for by BASELINE.json's
+data-parallel config. Design:
+
+* pairs are bucketed by (query, subject) length into padded (B, M), (B, N)
+  int32 arrays (distinct symbols pad each side so padding never matches);
+* scoring runs as a single jitted row-sweep vectorized over the batch
+  dimension -- on TPU the batch dimension fills the VPU lanes, which is the
+  efficient layout for many small problems (one DP cell per pair per step,
+  1024+ pairs per vector op);
+* per-pair lengths are traced arrays, so one compilation serves every
+  batch of the same bucket shape.
+
+Scores are bit-identical to the single-pair engines (same int32 max-plus
+recurrence).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from anyseq_tpu.core.types import (
+    SCORE_MIN,
+    LinearScoring,
+    Mode,
+    Score,
+    as_u8,
+)
+
+_PAD_Q = 254
+_PAD_S = 255
+
+
+def _bucket(x: int, mult: int = 256) -> int:
+    return max(mult, (x + mult - 1) // mult * mult)
+
+
+@functools.partial(jax.jit, static_argnames=("mode", "sc"))
+def _score_batch(q, s, ms, ns, mode: Mode, sc: LinearScoring):
+    """q: (B, M) int32, s: (B, N) int32, ms/ns: (B,) int32 lengths.
+
+    Returns (B,) int32 scores (+ (B,2) end positions for local).
+
+    Row sweep with the same max-plus prefix-scan trick as
+    xla_linmem.score_rows, vmapped over the batch; masking handles ragged
+    lengths (rows beyond m keep the carry unchanged).
+    """
+    B, M = q.shape
+    N = s.shape[1]
+    jg = jnp.arange(N, dtype=Score) * sc.gap  # (N,)
+    jidx = jnp.arange(N)
+
+    def init_col(i):
+        if mode is Mode.GLOBAL:
+            return (i + 1) * sc.gap
+        return jnp.zeros_like(i)
+
+    row0 = init_col(jnp.arange(N, dtype=Score))[None, :].repeat(B, 0)
+
+    jmask = jidx[None, :] < ns[:, None]  # (B, N)
+
+    def body(i, carry):
+        prev, last_col, best, best_pos = carry
+        active = i < ms  # (B,)
+        col_i = init_col(jnp.full((B,), i, Score))
+        col_im1 = init_col(jnp.full((B,), i - 1, Score))
+        diag = jnp.concatenate([col_im1[:, None], prev[:, :-1]], axis=1)
+        qi = jnp.take_along_axis(
+            q, jnp.minimum(i, ms - 1)[:, None].astype(jnp.int32), axis=1
+        )  # (B,1)
+        sub = jnp.where(qi == s, sc.match, sc.mismatch).astype(Score)
+        cand = jnp.maximum(diag + sub, prev + sc.gap)
+        if mode is Mode.LOCAL:
+            cand = jnp.maximum(cand, 0)
+        run = jnp.maximum(
+            jax.lax.cummax(cand - jg[None, :], axis=1),
+            (col_i + sc.gap)[:, None],
+        )
+        row = run + jg[None, :]
+        row = jnp.where(active[:, None], row, prev)
+
+        lc = jnp.take_along_axis(row, (ns - 1)[:, None], axis=1)[:, 0]
+        last_col = jnp.where(active, lc, last_col)
+        # per-pair last_col history replaced by running semiglobal max below
+        masked = jnp.where(jmask, row, SCORE_MIN)
+        rmax = jnp.max(masked, axis=1)
+        rarg = jnp.argmax(masked, axis=1).astype(Score)
+        take = jnp.logical_and(active, rmax > best)
+        best = jnp.where(take, rmax, best)
+        best_pos = jnp.where(
+            take[:, None],
+            jnp.stack([jnp.full((B,), i, Score), rarg], axis=1),
+            best_pos,
+        )
+        return row, last_col, best, best_pos
+
+    init = (
+        row0,
+        jnp.full((B,), SCORE_MIN, Score),
+        jnp.full((B,), SCORE_MIN, Score),
+        jnp.full((B, 2), -1, Score),
+    )
+    last_row_f, _, best, best_pos = jax.lax.fori_loop(
+        0, jnp.max(ms), body, init
+    )
+
+    if mode is Mode.GLOBAL:
+        # H[m-1][n-1] = value of the final row at column n-1
+        score = jnp.take_along_axis(last_row_f, (ns - 1)[:, None], axis=1)[:, 0]
+        return score, best_pos
+    if mode is Mode.LOCAL:
+        return jnp.maximum(best, 0), best_pos
+
+    # semiglobal: max over last row (masked) and last column.
+    # The last column per pair needs a second tracking pass; we reuse the
+    # running "value at column n-1 per row" accumulated as a max instead.
+    lr = jnp.where(jmask, last_row_f, SCORE_MIN)
+    row_max = jnp.max(lr, axis=1)
+    return row_max, best_pos
+
+
+@functools.partial(jax.jit, static_argnames=("mode", "sc"))
+def _score_batch_semiglobal(q, s, ms, ns, mode: Mode, sc: LinearScoring):
+    """Semiglobal needs max over last row AND last column; track the
+    column max during the sweep."""
+    B, M = q.shape
+    N = s.shape[1]
+    jg = jnp.arange(N, dtype=Score) * sc.gap
+    jidx = jnp.arange(N)
+    row0 = jnp.zeros((B, N), Score)
+    jmask = jidx[None, :] < ns[:, None]
+
+    def body(i, carry):
+        prev, col_max = carry
+        active = i < ms
+        diag = jnp.concatenate(
+            [jnp.zeros((B, 1), Score), prev[:, :-1]], axis=1
+        )
+        qi = jnp.take_along_axis(
+            q, jnp.minimum(i, ms - 1)[:, None].astype(jnp.int32), axis=1
+        )
+        sub = jnp.where(qi == s, sc.match, sc.mismatch).astype(Score)
+        cand = jnp.maximum(diag + sub, prev + sc.gap)
+        run = jnp.maximum(jax.lax.cummax(cand - jg[None, :], axis=1),
+                          jnp.full((B, 1), sc.gap, Score))
+        row = run + jg[None, :]
+        row = jnp.where(active[:, None], row, prev)
+        lc = jnp.take_along_axis(row, (ns - 1)[:, None], axis=1)[:, 0]
+        col_max = jnp.where(active, jnp.maximum(col_max, lc), col_max)
+        return row, col_max
+
+    last_row, col_max = jax.lax.fori_loop(
+        0, jnp.max(ms), body, (row0, jnp.full((B,), SCORE_MIN, Score))
+    )
+    lr = jnp.where(jmask, last_row, SCORE_MIN)
+    row_max = jnp.max(lr, axis=1)
+    # boundary candidates (empty overlap) are 0 for semiglobal
+    return jnp.maximum(jnp.maximum(row_max, col_max), 0)
+
+
+def align_scores_batch(queries, subjects, mode="global",
+                       scoring=LinearScoring(), batch_size: int = 512):
+    """Score many pairs. queries/subjects: sequences of str/bytes/uint8.
+
+    Returns np.ndarray of int64 scores, one per pair. Pairs are internally
+    grouped into shape buckets; order is preserved.
+    """
+    mode = Mode.parse(mode)
+    qs = [as_u8(x) for x in queries]
+    ss = [as_u8(x) for x in subjects]
+    if len(qs) != len(ss):
+        raise ValueError("queries and subjects must have equal length")
+    n_pairs = len(qs)
+    out = np.zeros(n_pairs, dtype=np.int64)
+
+    # bucket by padded shape
+    buckets: dict[tuple[int, int], list[int]] = {}
+    for idx, (a, b) in enumerate(zip(qs, ss)):
+        if len(a) == 0 or len(b) == 0:
+            raise ValueError("empty sequences are not supported")
+        key = (_bucket(len(a)), _bucket(len(b)))
+        buckets.setdefault(key, []).append(idx)
+
+    for (M, N), idxs in buckets.items():
+        for lo in range(0, len(idxs), batch_size):
+            chunk = idxs[lo: lo + batch_size]
+            B = len(chunk)
+            qarr = np.full((B, M), _PAD_Q, np.int32)
+            sarr = np.full((B, N), _PAD_S, np.int32)
+            ms = np.empty(B, np.int32)
+            ns = np.empty(B, np.int32)
+            for r, i in enumerate(chunk):
+                qarr[r, : len(qs[i])] = qs[i]
+                sarr[r, : len(ss[i])] = ss[i]
+                ms[r] = len(qs[i])
+                ns[r] = len(ss[i])
+            if mode is Mode.SEMIGLOBAL:
+                scores = _score_batch_semiglobal(
+                    jnp.asarray(qarr), jnp.asarray(sarr),
+                    jnp.asarray(ms), jnp.asarray(ns), mode, scoring,
+                )
+            else:
+                scores, _ = _score_batch(
+                    jnp.asarray(qarr), jnp.asarray(sarr),
+                    jnp.asarray(ms), jnp.asarray(ns), mode, scoring,
+                )
+            out[np.asarray(chunk)] = np.asarray(scores)
+    return out

@@ -2,12 +2,20 @@
 tests work without TPU hardware. Must run before jax is imported."""
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU: the global environment pins JAX_PLATFORMS=axon (the TPU
+# tunnel), which is slow, serialized, and flaky for tests -- AND
+# /root/.axon_site/sitecustomize.py imports jax at interpreter startup, so
+# env vars set here are too late; use the config API (works pre-backend
+# init). XLA_FLAGS is still read lazily at backend init.
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest

@@ -1,0 +1,52 @@
+"""Batched many-pair engine parity tests."""
+import numpy as np
+import pytest
+
+from anyseq_tpu.core.types import LinearScoring, Mode
+from anyseq_tpu.engine.batch import align_scores_batch
+from anyseq_tpu.ref import oracle
+
+from conftest import random_dna, mutate
+
+SC = LinearScoring(2, -1, -1)
+MODES = [Mode.GLOBAL, Mode.SEMIGLOBAL, Mode.LOCAL]
+
+
+@pytest.mark.parametrize("mode", MODES)
+def test_batch_parity(mode):
+    rng = np.random.default_rng(21)
+    qs, ss = [], []
+    for _ in range(12):
+        q = random_dna(rng, int(rng.integers(5, 120)))
+        s = mutate(rng, q) if rng.random() < 0.5 else random_dna(
+            rng, int(rng.integers(5, 120))
+        )
+        qs.append(q)
+        ss.append(s)
+    got = align_scores_batch(qs, ss, mode, SC)
+    for i, (q, s) in enumerate(zip(qs, ss)):
+        assert got[i] == oracle.align_score(q, s, mode, SC), (mode, i)
+
+
+def test_batch_mixed_buckets():
+    rng = np.random.default_rng(22)
+    qs = [random_dna(rng, n) for n in (10, 300, 40, 500)]
+    ss = [random_dna(rng, n) for n in (280, 20, 44, 310)]
+    got = align_scores_batch(qs, ss, Mode.GLOBAL, SC)
+    for i in range(4):
+        assert got[i] == oracle.align_score(qs[i], ss[i], Mode.GLOBAL, SC)
+
+
+def test_batch_custom_scoring():
+    sc = LinearScoring(3, -2, -2)
+    rng = np.random.default_rng(23)
+    qs = [random_dna(rng, 50) for _ in range(4)]
+    ss = [mutate(rng, q) for q in qs]
+    got = align_scores_batch(qs, ss, Mode.LOCAL, sc)
+    for i in range(4):
+        assert got[i] == oracle.align_score(qs[i], ss[i], Mode.LOCAL, sc)
+
+
+def test_batch_empty_rejected():
+    with pytest.raises(ValueError):
+        align_scores_batch([b""], [b"ACGT"], Mode.GLOBAL, SC)

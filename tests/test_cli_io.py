@@ -1,0 +1,111 @@
+"""CLI and IO tests (reference: src/main.cpp, src/sequence_io.cpp)."""
+import io
+
+import numpy as np
+import pytest
+
+from anyseq_tpu.io import fasta
+from anyseq_tpu.io.alignment import print_alignment
+from anyseq_tpu.core.types import Alignment
+
+
+def test_fasta_reader_multirecord(tmp_path):
+    p = tmp_path / "x.fna"
+    p.write_bytes(b">r1 header one\nACGT\nACG\n>r2\nTTTT\n")
+    r = fasta.make_sequence_reader(str(p))
+    rec1 = r.next()
+    assert rec1.header == "r1 header one"
+    assert rec1.data == b"ACGTACG"
+    rec2 = r.next()
+    assert rec2.data == b"TTTT"
+    assert rec2.index == 2
+
+
+def test_fasta_malformed(tmp_path):
+    p = tmp_path / "x.fa"
+    p.write_bytes(b"ACGT\n")
+    r = fasta.make_sequence_reader(str(p))
+    with pytest.raises(fasta.IOFormatError):
+        r.next()
+
+
+def test_fastq_reader(tmp_path):
+    p = tmp_path / "x.fastq"
+    p.write_bytes(b"@r1\nACGT\n+\nIIII\n@r2\nGGGG\n+\nJJJJ\n")
+    r = fasta.make_sequence_reader(str(p))
+    rec = r.next()
+    assert rec.data == b"ACGT"
+    assert rec.qualities == b"IIII"
+    assert r.next().data == b"GGGG"
+
+
+def test_format_sniffing(tmp_path):
+    p = tmp_path / "noext"
+    p.write_bytes(b">x\nAC\n")
+    assert isinstance(fasta.make_sequence_reader(str(p)), fasta.FastaReader)
+    p2 = tmp_path / "noext2"
+    p2.write_bytes(b"@x\nAC\n+\nII\n")
+    assert isinstance(fasta.make_sequence_reader(str(p2)), fasta.FastqReader)
+    p3 = tmp_path / "garbage"
+    p3.write_bytes(b"xyz\n")
+    with pytest.raises(fasta.FileReadError):
+        fasta.make_sequence_reader(str(p3))
+
+
+def test_missing_file():
+    with pytest.raises(fasta.FileAccessError):
+        fasta.make_sequence_reader("/nonexistent/file.xyz")
+
+
+def test_read_first_sequence(tmp_path):
+    p = tmp_path / "y.fasta"
+    p.write_bytes(b">a\nAAA\nCCC\n>b\nGGG\n")
+    assert fasta.read_first_sequence(str(p)) == b"AAACCC"
+
+
+def test_print_alignment_format():
+    # out buffers in the reference sparse convention
+    a = Alignment(5, b" AC_T", b" ACGT", (0, 0))
+    buf = io.StringIO()
+    print_alignment(a, max_width=3, file=buf)
+    lines = buf.getvalue().splitlines()
+    assert lines[0] == "5"
+    assert lines[1] == "AC_"
+    assert lines[2] == "|| "
+    assert lines[3] == "ACG"
+    assert lines[5] == "T"
+    assert lines[6] == "|"
+    assert lines[7] == "T"
+
+
+def test_cli_random_mode_runs(capsys):
+    from anyseq_tpu import cli
+
+    rc = cli.main(["-r", "16", "24", "--mode", "global"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "random strings with length from [16,24]" in out
+    assert "testing global score" in out
+    assert "testing global alignment" in out
+    assert " ms" in out
+
+
+def test_cli_file_mode_runs(tmp_path, capsys):
+    from anyseq_tpu import cli
+
+    q = tmp_path / "q.fna"
+    s = tmp_path / "s.fna"
+    q.write_bytes(b">q\nGATTACA\n")
+    s.write_bytes(b">s\nGATTTACA\n")
+    rc = cli.main(["-i", str(q), str(s), "--mode", "local", "--print"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "sequence lengths: 7, 8" in out
+    assert "testing local score" in out
+
+
+def test_cli_bad_lengths(capsys):
+    from anyseq_tpu import cli
+
+    rc = cli.main(["-r", "0", "5"])
+    assert rc == 1
