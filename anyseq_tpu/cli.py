@@ -106,6 +106,12 @@ def main(argv=None) -> int:
         default=[2, -1, -1],
         help="linear scoring parameters (reference hard-codes 2 -1 -1)",
     )
+    parser.add_argument(
+        "--affine", nargs=2, type=int, metavar=("GAP_OPEN", "GAP_EXTEND"),
+        default=None,
+        help="use affine (Gotoh) gap scoring instead of linear "
+             "(beyond-reference capability)",
+    )
     parser.add_argument("--fulltb", action="store_true",
                         help="use full-matrix traceback instead of Hirschberg")
     parser.add_argument("--print", dest="do_print", action="store_true",
@@ -143,9 +149,13 @@ def main(argv=None) -> int:
 
     print(f"sequence lengths: {len(query)}, {len(subject)}", file=out)
 
-    from anyseq_tpu.core.types import LinearScoring
+    from anyseq_tpu.core.types import AffineScoring, LinearScoring
 
-    scoring = LinearScoring(*args.scores)
+    if args.affine is not None:
+        scoring = AffineScoring(args.scores[0], args.scores[1],
+                                args.affine[0], args.affine[1])
+    else:
+        scoring = LinearScoring(*args.scores)
 
     if args.mode == "all":
         benchmark_alignments(query, subject, scoring, out,

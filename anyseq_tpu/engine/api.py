@@ -15,6 +15,7 @@ from anyseq_tpu.core.types import (
     EMPTY_SYM,
     PRED_GAP_Q,
     PRED_GAP_S,
+    AffineScoring,
     Alignment,
     LinearScoring,
     Mode,
@@ -52,6 +53,10 @@ def _prep(query, subject):
 
 
 def _run_score(qp, sp, m, n, mode, scoring, engine):
+    if isinstance(scoring, AffineScoring):
+        from anyseq_tpu.engine import xla_affine
+
+        return xla_affine.score_rows_affine(qp, sp, m, n, mode, scoring)
     if engine in ("auto", "pallas"):
         from anyseq_tpu.kernels import band as band_kernel
 
@@ -94,11 +99,46 @@ def align_full_tb(query, subject, mode="global", scoring=LinearScoring(),
     """
     mode = Mode.parse(mode)
     q, s, m, n, qp, sp = _prep(query, subject)
+    if isinstance(scoring, AffineScoring):
+        from anyseq_tpu.engine import xla_affine
+        from anyseq_tpu.ref import oracle_affine
+
+        outs = xla_affine.score_rows_affine_with_preds(
+            qp, sp, m, n, mode, scoring
+        )
+        score, end = xla_linmem.extract_score_from_outputs(
+            outs, m, n, mode, scoring
+        )
+        PH, PE, PF = _haloed_affine_preds(
+            np.asarray(outs["preds"]), m, n, mode
+        )
+        out_q, out_s, start = oracle_affine.traceback_affine(
+            q, s, PH, PE, PF, end
+        )
+        return Alignment(score, bytes(out_q), bytes(out_s), start)
     outs = xla_linmem.score_rows_with_preds(qp, sp, m, n, mode, scoring)
     score, end = xla_linmem.extract_score_from_outputs(outs, m, n, mode, scoring)
     P = _haloed_preds(np.asarray(outs["preds"]), m, n, mode)
     out_q, out_s, start = oracle.traceback(q, s, P, end)
     return Alignment(score, bytes(out_q), bytes(out_s), start)
+
+
+def _haloed_affine_preds(packed: np.ndarray, m: int, n: int, mode: Mode):
+    """Unpack the engine's packed affine predecessors into haloed
+    (m+1, n+1) PH/PE/PF planes (boundaries per ref/oracle_affine.py)."""
+    PH = np.zeros((m + 1, n + 1), dtype=np.uint8)
+    PE = np.zeros((m + 1, n + 1), dtype=np.uint8)
+    PF = np.zeros((m + 1, n + 1), dtype=np.uint8)
+    blk = packed[:m, :n]
+    PH[1:, 1:] = blk & 3
+    PE[1:, 1:] = (blk >> 2) & 1
+    PF[1:, 1:] = (blk >> 3) & 1
+    if mode is Mode.GLOBAL:
+        PH[0, 1:] = PRED_GAP_Q
+        PH[1:, 0] = PRED_GAP_S
+        PE[0, 2:] = 1
+        PF[2:, 0] = 1
+    return PH, PE, PF
 
 
 def align(query, subject, mode="global", scoring=LinearScoring(),
@@ -110,6 +150,8 @@ def align(query, subject, mode="global", scoring=LinearScoring(),
     matrix), or "auto" (hirschberg for large problems, full for small).
     """
     mode = Mode.parse(mode)
+    if isinstance(scoring, AffineScoring) and traceback == "auto":
+        traceback = "full"  # affine Hirschberg (Myers-Miller) not yet wired
     if traceback == "auto":
         q8, s8 = as_u8(query), as_u8(subject)
         traceback = "full" if len(q8) * len(s8) <= (1 << 22) else "hirschberg"

@@ -1,0 +1,61 @@
+"""Multi-device subject-sharded wavefront tests on the virtual 8-device
+CPU mesh (SURVEY.md §4 oracle (e): multi-chip == single-chip scores)."""
+import jax
+import numpy as np
+import pytest
+
+from anyseq_tpu.core.types import LinearScoring, Mode
+from anyseq_tpu.dist import mesh as meshlib
+from anyseq_tpu.dist.sharded import score_pair_sharded
+from anyseq_tpu.engine import xla_linmem
+from anyseq_tpu.ref import oracle
+
+from conftest import random_dna, mutate
+
+SC = LinearScoring(2, -1, -1)
+MODES = [Mode.GLOBAL, Mode.SEMIGLOBAL, Mode.LOCAL]
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    return meshlib.make_mesh(sp=8, dp=1)
+
+
+@pytest.mark.parametrize("mode", MODES)
+def test_sharded_score_matches_oracle(mesh8, mode):
+    rng = np.random.default_rng(31)
+    q = random_dna(rng, 300)
+    s = mutate(rng, random_dna(rng, 1500))
+    m, n = len(q), len(s)
+    outs = score_pair_sharded(q, s, mode, SC, mesh8, H=128)
+    outs = {k: np.asarray(v) for k, v in outs.items()}
+    score, pos = xla_linmem.extract_score_from_outputs(outs, m, n, mode, SC)
+    exp_H, _ = oracle.dp_full(q, s, mode, SC)
+    exp_score, exp_pos = oracle.extract_score(exp_H, mode, SC)
+    assert score == exp_score
+    if mode is Mode.LOCAL:
+        assert tuple(pos) == tuple(exp_pos)
+    # boundary vectors must be bit-identical to the single-chip engine
+    np.testing.assert_array_equal(outs["last_row"][:n], exp_H[m, 1:])
+    np.testing.assert_array_equal(outs["last_col"][:m], exp_H[1:, n])
+
+
+def test_sharded_large_multiband(mesh8):
+    rng = np.random.default_rng(32)
+    q = random_dna(rng, 700)
+    s = random_dna(rng, 2000)
+    outs = score_pair_sharded(q, s, Mode.GLOBAL, SC, mesh8, H=256)
+    score, _ = xla_linmem.extract_score_from_outputs(
+        {k: np.asarray(v) for k, v in outs.items()},
+        len(q), len(s), Mode.GLOBAL, SC,
+    )
+    assert score == oracle.align_score(q, s, Mode.GLOBAL, SC)
+
+
+def test_mesh_shapes():
+    m = meshlib.make_mesh(sp=4, dp=2)
+    assert m.shape["sp"] == 4 and m.shape["dp"] == 2
+    with pytest.raises(ValueError):
+        meshlib.make_mesh(sp=3, dp=3)
