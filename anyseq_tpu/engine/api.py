@@ -112,14 +112,20 @@ def align_full_tb(query, subject, mode="global", scoring=LinearScoring(),
         PH, PE, PF = _haloed_affine_preds(
             np.asarray(outs["preds"]), m, n, mode
         )
-        out_q, out_s, start = oracle_affine.traceback_affine(
-            q, s, PH, PE, PF, end
-        )
+        from anyseq_tpu.engine import tb
+
+        out_q = np.full(m + n, EMPTY_SYM, dtype=np.uint8)
+        out_s = np.full(m + n, EMPTY_SYM, dtype=np.uint8)
+        start = tb.walk_affine(q, s, PH, PE, PF, end, out_q, out_s)
         return Alignment(score, bytes(out_q), bytes(out_s), start)
     outs = xla_linmem.score_rows_with_preds(qp, sp, m, n, mode, scoring)
     score, end = xla_linmem.extract_score_from_outputs(outs, m, n, mode, scoring)
     P = _haloed_preds(np.asarray(outs["preds"]), m, n, mode)
-    out_q, out_s, start = oracle.traceback(q, s, P, end)
+    from anyseq_tpu.engine import tb
+
+    out_q = np.full(m + n, EMPTY_SYM, dtype=np.uint8)
+    out_s = np.full(m + n, EMPTY_SYM, dtype=np.uint8)
+    start = tb.walk_linear(q, s, P, end, out_q, out_s)
     return Alignment(score, bytes(out_q), bytes(out_s), start)
 
 

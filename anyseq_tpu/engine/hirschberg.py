@@ -37,6 +37,7 @@ from anyseq_tpu.core.types import (
     Mode,
     as_u8,
 )
+from anyseq_tpu.engine import tb
 from anyseq_tpu.ref import oracle
 
 # Width at which divide-and-conquer stops and a predecessor stripe is
@@ -110,9 +111,7 @@ def _full_stripe(q8, s8, off_i, off_j, out_q, out_s, scoring, engine):
         qp, sp, m, n, Mode.GLOBAL, scoring
     )
     P = api._haloed_preds(np.asarray(outs["preds"]), m, n, Mode.GLOBAL)
-    oracle.traceback(
-        q8, s8, P, (m - 1, n - 1), out_q, out_s, off_i, off_j
-    )
+    tb.walk_linear(q8, s8, P, (m - 1, n - 1), out_q, out_s, off_i, off_j)
 
 
 def _hb_global(q8, s8, off_i, off_j, out_q, out_s, scoring, engine,
@@ -133,8 +132,7 @@ def _hb_global(q8, s8, off_i, off_j, out_q, out_s, scoring, engine,
             qp, sp, m, n, Mode.GLOBAL, scoring
         )
         P = api._haloed_preds(np.asarray(outs["preds"]), m, n, Mode.GLOBAL)
-        oracle.traceback(q8, s8, P, (m - 1, n - 1), out_q, out_s,
-                         off_i, off_j)
+        tb.walk_linear(q8, s8, P, (m - 1, n - 1), out_q, out_s, off_i, off_j)
         return int(np.asarray(outs["last_col"])[m - 1])
 
     mid = n // 2

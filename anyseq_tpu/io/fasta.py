@@ -182,7 +182,12 @@ def make_sequence_reader(filename: str) -> SequenceReader:
 
 def read_first_sequence(filename: str) -> bytes:
     """First record of a file -- the reference CLI's input convention
-    (main.cpp:182-189)."""
+    (main.cpp:182-189). Uses the native C reader when available."""
+    from anyseq_tpu.io import _native
+
+    data = _native.read_first_sequence_native(filename)
+    if data is not None:
+        return data
     reader = make_sequence_reader(filename)
     if reader.has_next():
         return reader.next().data
