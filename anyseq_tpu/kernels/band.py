@@ -1,37 +1,38 @@
-"""Pallas TPU wavefront kernel: skewed anti-diagonal DP over (8,128) vectors.
+"""Pallas TPU wavefront kernel: continuous-column anti-diagonal sweeps.
 
 TPU-first design (NOT a translation of the reference's GPU path):
 
 * A *window* is W = 8*128 = 1024 consecutive subject positions held as one
-  (8, 128) vector register (j = sublane*128 + lane). A *band* is H query
-  rows. The kernel sweeps each (band, window) parallelogram over
-  ``h + W - 1`` anti-diagonal steps; every step relaxes 1024 DP cells with
-  a handful of full-width VPU ops -- the moral equivalent of the reference
-  GPU's 128-thread shared-memory rotation buffer (scoring_acc.impala:8-42)
-  but 8x wider and with no barriers. A single TPU core is one wide vector
-  processor: the reference's intra-device block wavefront
-  (iteration_cpu.impala:23-27) is unnecessary on TPU; tiles run in the
-  natural sequential order and wavefront parallelism only reappears across
-  chips (anyseq_tpu/dist/).
+  (8, 128) vector register (j = sublane*128 + lane, row-major). Each
+  window sweeps the ENTIRE query height in one parallelogram of
+  ``m + W - 1`` anti-diagonal steps; every step relaxes 1024 DP cells with
+  full-width VPU ops. Because the sweep is continuous there are no
+  horizontal band boundaries at all -- the top boundary row is a closed
+  form injected per step, and parallelogram efficiency is m/(m+W-1),
+  i.e. ~100% for large m (the reference GPU pays kernel-launch barriers
+  per 128-wide block anti-diagonal instead, iteration_acc.impala:30-83).
 
 * Rolling state lives in vector registers: ``d1`` (previous diagonal),
-  ``d2s`` (shifted diagonal before it) and ``qd`` (query symbols along the
-  diagonal), shifted one lane per step via two ``pltpu.roll``s and a lane-0
-  fixup. Mosaic has no scalar VMEM access, so every scalar crossing uses
-  the legal mechanism: per-step scalars (query symbol, column boundary)
-  load/store in SMEM; vreg-lane extraction goes through a masked
-  ``jnp.max`` reduce; the row-boundary injection is a purely positional
-  ``where`` (source lane == destination lane, no scalar needed).
+  ``d2s`` (shifted diagonal before that) and ``qd`` (query symbols along
+  the diagonal), shifted one lane per step via two ``pltpu.roll``s and a
+  lane-0 fixup.
 
-* Linear-memory boundaries exactly as the reference's row/column/corner
-  vectors (scoring.impala:218-259): the subject-axis boundary row rides in
-  an HBM buffer aliased in/out and blocked per window (VMEM); the
-  query-axis boundary column is an SMEM scratch; the corner is an SMEM
-  scalar.
+* The only inter-window state is the boundary column (cell(i, j0-1) for
+  all i) -- the linear-memory "column" vector of the reference
+  (scoring.impala:218-259) -- kept in a VMEM scratch updated in place:
+  reads are chunked (8,128) vector loads (one chunk serves 1024 steps)
+  with per-step mask+reduce lane extraction; writes accumulate in a
+  vector register and flush chunk-wise. No scalar memory traffic in the
+  loop at all (Mosaic has no scalar VMEM access, and per-step SMEM access
+  stalls the vector pipeline).
 
-Grid: (num_bands, num_windows), executed sequentially (row-major), the row
-buffer carrying across bands. Scores are int32; relaxation is max-of-three,
-bit-identical to the reference recurrence (align.impala:46-79).
+Grid: (num_windows,), sequential. Scores are int32; relaxation is
+max-of-three, bit-identical to the reference recurrence
+(align.impala:46-79).
+
+Capacity: the column scratch is O(M) VMEM, capping single-call height at
+M_MAX rows; taller problems fall back to the XLA engine (a banded/HBM-DMA
+variant is the planned extension).
 """
 from __future__ import annotations
 
@@ -49,38 +50,42 @@ R = 8
 LANES = 128
 W = R * LANES
 
-DEFAULT_H = 4096
+# VMEM cap for the column scratch (+ q + optional col_out): 512k rows of
+# int32 = 2 MiB per buffer.
+M_MAX = 512 * 1024
 
 
 def _shift_j(x, lane_iota):
     """shifted[j] = x[j-1] in the row-major (R,128) linearization.
 
-    Lane 0 of sublane 0 receives wrap garbage; callers overwrite it."""
+    Position (0,0) receives wrap garbage; callers overwrite it."""
     a = pltpu.roll(x, 1, 1)
     b = pltpu.roll(a, 1, 0)
     return jnp.where(lane_iota == 0, b, a)
 
 
 def _extract(vec, mask):
-    """Scalar value of the single lane where mask is True."""
+    """Scalar value of the single position where mask is True."""
     return jnp.max(jnp.where(mask, vec, SCORE_MIN))
 
 
-def _make_kernel(H: int, mode: Mode, sc: LinearScoring, emit_col: bool):
+def _make_kernel(mode: Mode, sc: LinearScoring, emit_col: bool):
     local = mode is Mode.LOCAL
     is_global = mode is Mode.GLOBAL
     gap = sc.gap
 
-    def kernel(dims_ref, q_ref, s_ref, row_ref, row_out_ref, col_out_ref,
+    def topval(j):
+        """Boundary row cell(-1, j) (j may be negative: the corner chain)."""
+        if is_global:
+            return (j + 1) * gap
+        return j * 0
+
+    def kernel(dims_ref, q_ref, s_ref, row_out_ref, col_out_ref,
                best_out_ref, colbuf_s, smem_s):
-        b = pl.program_id(0)
-        w = pl.program_id(1)
+        w = pl.program_id(0)
         m = dims_ref[0]
         n = dims_ref[1]
-
-        i0 = b * H
         j0 = w * W
-        h_local = jnp.minimum(H, m - i0)
         edge = n - 1 - j0  # lane of the true last column, if within [0, W)
         is_edge_w = jnp.logical_and(edge >= 0, edge < W)
 
@@ -89,52 +94,59 @@ def _make_kernel(H: int, mode: Mode, sc: LinearScoring, emit_col: bool):
         flat_iota = sub_iota * LANES + lane_iota
         last_mask = flat_iota == W - 1
 
-        # Band-start corner init (reference: create_scoring_matrix_linmem,
-        # scoring.impala:224-242). The column boundary needs no init pass:
-        # at window 0 each colbuf slot is read exactly once, at step t, and
-        # its init value is a closed-form of t -- selected in the step body
-        # (static-bound init loops also crash this Mosaic toolchain).
-        # colbuf_s[k] = cell(i0 + k, -1); smem_s[4] = corner cell(i0-1, -1).
         @pl.when(w == 0)
-        def _():
-            smem_s[4] = (i0 * gap) if is_global else 0
-
-        @pl.when(jnp.logical_and(b == 0, w == 0))
         def _():
             smem_s[0] = SCORE_MIN
             smem_s[1] = -1
             smem_s[2] = -1
 
         s_syms = s_ref[:, :]
-        rowv = row_ref[:, :]  # incoming boundary row (cells (i0-1, j))
 
-        # Initial rolling state:
-        # d1 = D_{-1}: only lane 0 read at t=0 (up of cell(0,0) = row_in[0])
-        d1 = jnp.where(flat_iota == 0, rowv, 0)  # positional: lane 0 = row_in[0]
-        # d2s = shift(D_{-2}): lane 0 at t=0 = diag of cell(0,0) = corner
-        d2s = jnp.where(flat_iota == 0, smem_s[4], 0)
+        # Initial rolling state: d1 = D_{-1} (lane 0 = up of cell(0, j0) =
+        # topval(j0)); d2s = shift(D_{-2}) (lane 0 = corner topval(j0-1)).
+        d1 = jnp.where(flat_iota == 0, topval(j0), 0).astype(Score)
+        d2s = jnp.where(flat_iota == 0, topval(j0 - 1), 0).astype(Score)
         qd = jnp.zeros((R, LANES), jnp.int32)
         lastrow = jnp.zeros((R, LANES), Score)
         vmax = jnp.full((R, LANES), SCORE_MIN, Score)
         vimax = jnp.zeros((R, LANES), jnp.int32)
+        colacc = jnp.zeros((R, LANES), Score)
+        ecol = jnp.zeros((R, LANES), Score)
+        qv = q_ref[0:R, :]
+        colv = colbuf_s[0:R, :]
 
-        T = h_local + W - 1
+        T = m + W - 1
 
         def step(t, carry):
-            d1, d2s, qd, lastrow, vmax, vimax = carry
+            (d1, d2s, qd, lastrow, vmax, vimax, colacc, ecol, qv,
+             colv) = carry
+            tm = jax.lax.rem(t, W)
+            # Clamp: q/col values are only consumed while t < m; the sweep
+            # tail (t up to m+W-2) must not load out of range.
+            chunk = jax.lax.div(jnp.minimum(t, m - 1), W)
+            crow = pl.multiple_of(chunk * R, R)
 
-            # Query symbol entering at lane 0: q[band-local row t]
-            qt = q_ref[jnp.minimum(t, h_local - 1)]
+            # Chunk rotation: one (8,128) load serves the next 1024 steps.
+            fresh = tm == 0
+            qv2 = q_ref[pl.ds(crow, R), :]
+            colv2 = colbuf_s[pl.ds(crow, R), :]
+            qv = jnp.where(fresh, qv2, qv)
+            colv = jnp.where(fresh, colv2, colv)
+
+            pos_mask = flat_iota == tm
+
+            # Query symbol entering at lane 0: q[t]
+            qt = _extract(qv, pos_mask)
             qd = _shift_j(qd, lane_iota)
             qd = jnp.where(flat_iota == 0, qt, qd)
 
-            # Left values: shift(D_{t-1}) with colbuf[t] = cell(t,-1) at lane 0
-            tc = jnp.minimum(t, h_local - 1)
+            # Left boundary value cell(t, j0-1) at lane 0 (window 0 uses
+            # the closed-form init column, scoring.impala:224-231)
             if is_global:
-                lcb0 = (i0 + tc + 1) * gap
+                lcb0 = (t + 1) * gap
             else:
                 lcb0 = 0
-            lcb = jnp.where(w == 0, lcb0, colbuf_s[tc])
+            lcb = jnp.where(w == 0, lcb0, _extract(colv, pos_mask))
             d1s = _shift_j(d1, lane_iota)
             d1s = jnp.where(flat_iota == 0, lcb, d1s)
 
@@ -145,51 +157,60 @@ def _make_kernel(H: int, mode: Mode, sc: LinearScoring, emit_col: bool):
             if local:
                 new = jnp.maximum(new, 0)
 
-            # Outgoing column boundary: cell(i_out, j0+W-1) -> colbuf[i_out].
-            # Written after colbuf[i_out] was last read (step i_out < t).
+            # Outgoing boundary column: cell(i_out, j0+W-1), i_out = t-W+1,
+            # accumulated at position i_out % W and flushed chunk-wise
+            # (writes land on rows the in-place reads already consumed).
             i_out = t - (W - 1)
+            v_out = _extract(new, last_mask)
+            colacc = jnp.where(flat_iota == jax.lax.rem(t + 1, W), v_out,
+                               colacc)
 
-            @pl.when(jnp.logical_and(i_out >= 0, i_out < h_local))
+            @pl.when(i_out >= 0)
             def _():
-                colbuf_s[i_out] = _extract(new, last_mask)
+                orow = pl.multiple_of(jax.lax.div(i_out, W) * R, R)
+                colbuf_s[pl.ds(orow, R), :] = colacc
 
             if emit_col:
-                # True last-column extraction (edge window only)
                 i_e = t - edge
+                v_e = _extract(new, flat_iota == edge)
+                ecol = jnp.where(
+                    jnp.logical_and(is_edge_w,
+                                    flat_iota == jax.lax.rem(i_e, W)),
+                    v_e, ecol,
+                )
 
                 @pl.when(
                     jnp.logical_and(
                         is_edge_w,
-                        jnp.logical_and(i_e >= 0, i_e < h_local),
+                        jnp.logical_and(i_e >= 0, i_e < m),
                     )
                 )
                 def _():
-                    col_out_ref[i_e] = _extract(new, flat_iota == edge)
+                    erow = pl.multiple_of(jax.lax.div(i_e, W) * R, R)
+                    col_out_ref[pl.ds(erow, R), :] = ecol
 
-            # Bottom-row accumulation: lane t-(h_local-1) holds row h_local-1
-            lastrow = jnp.where(flat_iota == t - (h_local - 1), new, lastrow)
+            # Bottom row H[m-1]: position t-(m-1) per step
+            lastrow = jnp.where(flat_iota == t - (m - 1), new, lastrow)
 
             if local:
                 valid = jnp.logical_and(
-                    jnp.logical_and(flat_iota <= t, flat_iota > t - h_local),
+                    jnp.logical_and(flat_iota <= t, flat_iota > t - m),
                     j0 + flat_iota < n,
                 )
                 better = jnp.logical_and(valid, new > vmax)
                 vmax = jnp.where(better, new, vmax)
                 vimax = jnp.where(better, t - flat_iota, vimax)
 
-            # Row-boundary injection for D_t: lane t+1 = row_in[t+1]
-            # (purely positional: source lane == destination lane).
-            rw = jnp.where(flat_iota == t + 1, rowv, new)
-            return rw, d1s, qd, lastrow, vmax, vimax
+            # Top boundary row injection for D_t: lane t+1 = topval(j0+t+1)
+            rw = jnp.where(flat_iota == t + 1, topval(j0 + t + 1), new)
+            return (rw, d1s, qd, lastrow, vmax, vimax, colacc, ecol, qv,
+                    colv)
 
-        d1, d2s, qd, lastrow, vmax, vimax = jax.lax.fori_loop(
-            0, T, step, (d1, d2s, qd, lastrow, vmax, vimax)
-        )
+        carry = (d1, d2s, qd, lastrow, vmax, vimax, colacc, ecol, qv, colv)
+        carry = jax.lax.fori_loop(0, T, step, carry)
+        (d1, d2s, qd, lastrow, vmax, vimax, colacc, ecol, qv, colv) = carry
 
         row_out_ref[:, :] = lastrow
-        # Corner for the next window = this window's incoming row[W-1]
-        smem_s[4] = _extract(rowv, last_mask)
 
         if local:
             # Merge this window's best into the running best with row-major
@@ -203,7 +224,7 @@ def _make_kernel(H: int, mode: Mode, sc: LinearScoring, emit_col: bool):
                 jnp.int32(2**30),
             )
             jmin = jnp.min(jcand)
-            gi = i0 + imin
+            gi = imin
             gj = j0 + jmin
             better = jnp.logical_or(
                 mval > smem_s[0],
@@ -222,11 +243,7 @@ def _make_kernel(H: int, mode: Mode, sc: LinearScoring, emit_col: bool):
                 smem_s[1] = gi
                 smem_s[2] = gj
 
-        @pl.when(
-            jnp.logical_and(
-                b == pl.num_programs(0) - 1, w == pl.num_programs(1) - 1
-            )
-        )
+        @pl.when(w == pl.num_programs(0) - 1)
         def _():
             best_out_ref[0] = smem_s[0]
             best_out_ref[1] = smem_s[1]
@@ -240,57 +257,64 @@ def _round_up(x: int, mult: int) -> int:
     return (x + mult - 1) // mult * mult
 
 
+def _bucket(x: int) -> int:
+    """Geometric shape bucket (multiples of W, ratio <= 1.25) to bound the
+    number of compiled variants; the dynamic true length drives the sweep,
+    so m-padding costs only VMEM and n-padding at most 25% extra windows."""
+    x = _round_up(x, W)
+    base = W
+    while base * 2 < x:
+        base *= 2
+    for frac in (4, 5, 6, 7, 8):
+        cand = base * frac // 4
+        if cand >= x:
+            return _round_up(cand, W)
+    return _round_up(base * 2, W)
+
+
 @functools.partial(
-    jax.jit, static_argnames=("mode", "sc", "H", "emit_col", "interpret")
+    jax.jit, static_argnames=("mode", "sc", "emit_col", "interpret")
 )
-def _score_padded(q1, s2, row0, m, n, mode: Mode, sc: LinearScoring,
-                  H: int, emit_col: bool = True, interpret: bool = False):
-    M_pad = q1.shape[0]
+def _score_padded(q2, s2, m, n, mode: Mode, sc: LinearScoring,
+                  emit_col: bool = True, interpret: bool = False):
+    M_pad = q2.shape[0] * LANES
     N_pad = s2.shape[0] * LANES
-    num_bands = M_pad // H
     num_windows = N_pad // W
-    HB = H // LANES
+    MR = M_pad // LANES
 
-    kernel = _make_kernel(H, mode, sc, emit_col)
+    kernel = _make_kernel(mode, sc, emit_col)
     dims = jnp.stack([m, n]).astype(jnp.int32)
-
-    grid = (num_bands, num_windows)
-    in_specs = [
-        pl.BlockSpec(memory_space=pltpu.SMEM),
-        pl.BlockSpec((H,), lambda b, w: (b,), memory_space=pltpu.SMEM),
-        pl.BlockSpec((R, LANES), lambda b, w: (w, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((R, LANES), lambda b, w: (w, 0),
-                     memory_space=pltpu.VMEM),
-    ]
-    out_specs = [
-        pl.BlockSpec((R, LANES), lambda b, w: (w, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((H,), lambda b, w: (b,), memory_space=pltpu.SMEM),
-        pl.BlockSpec(memory_space=pltpu.SMEM),
-    ]
 
     row_out, col_out, best = pl.pallas_call(
         kernel,
-        grid=grid,
-        in_specs=in_specs,
-        out_specs=out_specs,
+        grid=(num_windows,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # q, whole array
+            pl.BlockSpec((R, LANES), lambda w: (w, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((R, LANES), lambda w: (w, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # col_out, whole array
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
         out_shape=[
             jax.ShapeDtypeStruct((N_pad // LANES, LANES), Score),
-            jax.ShapeDtypeStruct((M_pad,), Score),
+            jax.ShapeDtypeStruct((MR, LANES), Score),
             jax.ShapeDtypeStruct((4,), jnp.int32),
         ],
         scratch_shapes=[
-            pltpu.SMEM((H,), Score),      # colbuf_s
-            pltpu.SMEM((8,), jnp.int32),  # best (0..2), corner (4)
+            pltpu.VMEM((MR, LANES), Score),  # colbuf
+            pltpu.SMEM((8,), jnp.int32),     # running best
         ],
-        input_output_aliases={3: 0},
         interpret=interpret,
-    )(dims, q1, s2, row0)
+    )(dims, q2, s2)
 
     return {
         "last_row": row_out.reshape(-1),
-        "last_col": col_out,
+        "last_col": col_out.reshape(-1),
         "best": best[:3],
     }
 
@@ -302,43 +326,41 @@ def available() -> bool:
         return False
 
 
+def supports(m: int) -> bool:
+    return m <= M_MAX
+
+
 def score_pair(qp, sp, m, n, mode: Mode, sc: LinearScoring,
                H: int | None = None, interpret: bool = False,
                emit_col: bool | None = None):
-    """Score-only linear-memory DP via the Pallas band kernel.
+    """Score-only linear-memory DP via the Pallas wavefront kernel.
 
     qp, sp: int32 arrays (host padding is fine; kernel repads internally).
     Returns the same output dict as xla_linmem.score_rows. When
     ``emit_col`` is False, ``last_col`` contains garbage (local mode does
-    not need it; global reads its score from last_row via the driver).
+    not need it). ``H`` is accepted for API compatibility and ignored
+    (the sweep is continuous; there are no bands).
     """
     mode = Mode.parse(mode)
     m_i = int(m)
     n_i = int(n)
+    if m_i > M_MAX:
+        raise ValueError(
+            f"pallas kernel supports m <= {M_MAX}; use the XLA engine or "
+            "the sharded path for taller problems"
+        )
     if emit_col is None:
         emit_col = mode is not Mode.LOCAL
-    if H is None:
-        H = DEFAULT_H
-    M_pad = _round_up(m_i, W)
-    if H > M_pad:
-        H = M_pad
-    M_pad = _round_up(M_pad, H)
-    N_pad = _round_up(n_i, W)
+    M_pad = _bucket(m_i)
+    N_pad = _bucket(n_i)
 
     def _fit(arr, size, fill):
         out = jnp.full((size,), fill, jnp.int32)
         k = min(arr.shape[0], size)
-        return out.at[:k].set(arr[:k])
+        return out.at[:k].set(arr[:k]).reshape(size // LANES, LANES)
 
-    q1 = _fit(qp, M_pad, 0)
-    s2 = _fit(sp, N_pad, 255).reshape(N_pad // LANES, LANES)
+    q2 = _fit(qp, M_pad, 0)
+    s2 = _fit(sp, N_pad, 255)
 
-    jarr = jnp.arange(N_pad, dtype=Score)
-    if mode is Mode.GLOBAL:
-        row0 = (jarr + 1) * sc.gap
-    else:
-        row0 = jnp.zeros_like(jarr)
-    row0 = row0.reshape(N_pad // LANES, LANES)
-
-    return _score_padded(q1, s2, row0, jnp.int32(m_i), jnp.int32(n_i),
-                         mode, sc, H, emit_col, interpret)
+    return _score_padded(q2, s2, jnp.int32(m_i), jnp.int32(n_i),
+                         mode, sc, emit_col, interpret)

@@ -1,0 +1,59 @@
+"""Checkpoint/resume tests: kill-anywhere restart gives identical results."""
+import numpy as np
+import pytest
+
+from anyseq_tpu.core.types import LinearScoring, Mode
+from anyseq_tpu.engine.resumable import ResumableScorer
+from anyseq_tpu.ref import oracle
+
+from conftest import random_dna, mutate
+
+SC = LinearScoring(2, -1, -1)
+MODES = [Mode.GLOBAL, Mode.SEMIGLOBAL, Mode.LOCAL]
+
+
+@pytest.mark.parametrize("mode", MODES)
+def test_resumable_matches_oracle(mode):
+    rng = np.random.default_rng(61)
+    q = random_dna(rng, 500)
+    s = mutate(rng, q)
+    sc = ResumableScorer(q, s, mode, SC, band_rows=128)
+    outs = sc.run()
+    score, _ = sc.score()
+    assert score == oracle.align_score(q, s, mode, SC)
+    H, _ = oracle.dp_full(q, s, mode, SC)
+    np.testing.assert_array_equal(outs["last_row"][: len(s)], H[len(q), 1:])
+    np.testing.assert_array_equal(outs["last_col"], H[1:, len(s)])
+
+
+def test_resume_midway_identical(tmp_path):
+    rng = np.random.default_rng(62)
+    q = random_dna(rng, 600)
+    s = mutate(rng, q)
+    path = str(tmp_path / "ck.npz")
+
+    # run 3 bands then "crash"
+    sc1 = ResumableScorer(q, s, "global", SC, band_rows=100,
+                          checkpoint_path=path)
+    for _ in range(3):
+        sc1.step()
+    assert sc1.band == 3
+
+    # resume in a fresh object and finish
+    sc2 = ResumableScorer.resume(path, q, s, "global", SC, band_rows=100)
+    assert sc2.band == 3
+    sc2.run()
+    score, _ = sc2.score()
+    assert score == oracle.align_score(q, s, Mode.GLOBAL, SC)
+
+
+def test_resume_rejects_mismatched_problem(tmp_path):
+    rng = np.random.default_rng(63)
+    q = random_dna(rng, 300)
+    s = random_dna(rng, 300)
+    path = str(tmp_path / "ck.npz")
+    sc1 = ResumableScorer(q, s, "global", SC, band_rows=64,
+                          checkpoint_path=path)
+    sc1.step()
+    with pytest.raises(ValueError):
+        ResumableScorer.resume(path, q, s + b"A", "global", SC, band_rows=64)
