@@ -1,0 +1,129 @@
+"""Benchmark suite: the reference benchmark.sh workload classes plus the
+BASELINE.json configs, on synthetic data (the reference's genome FASTA
+files are stripped from its checkout, .MISSING_LARGE_BLOBS).
+
+Run: python -m anyseq_tpu.bench.suite [--quick]
+Prints one JSON line per config plus a summary line.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def _mkpair(rng, n, mutated=True):
+    alpha = np.frombuffer(b"ACGT", np.uint8)
+    q = alpha[rng.integers(0, 4, n)]
+    if not mutated:
+        return bytes(q), bytes(alpha[rng.integers(0, 4, n)])
+    s = q.copy()
+    # ~5% substitutions for a related pair
+    idx = rng.random(n) < 0.05
+    s[idx] = alpha[rng.integers(0, 4, int(idx.sum()))]
+    return bytes(q), bytes(s)
+
+
+def _time(fn, reps=3):
+    import jax
+
+    fn()  # compile
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        r = fn()
+        jax.block_until_ready(r) if hasattr(r, "block_until_ready") else None
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def run(quick=False, out=sys.stdout):
+    import jax
+
+    import anyseq_tpu
+    from anyseq_tpu.core.types import LinearScoring, Mode
+    from anyseq_tpu.engine import api, batch as batch_eng, xla_linmem
+
+    sc = LinearScoring(2, -1, -1)
+    rng = np.random.default_rng(0)
+    on_tpu = jax.devices()[0].platform != "cpu"
+    results = []
+
+    def emit(name, seconds, cells):
+        rec = {
+            "config": name,
+            "ms": round(seconds * 1000, 1),
+            "gcups": round(cells / seconds / 1e9, 3),
+        }
+        results.append(rec)
+        print(json.dumps(rec), file=out, flush=True)
+
+    def score_fn(q, s, mode):
+        _, _, m, n, qp, sp = api._prep(q, s)
+
+        use_pallas = False
+        if on_tpu:
+            from anyseq_tpu.kernels import band
+
+            use_pallas = band.supports(m)
+
+        def f():
+            if use_pallas:
+                from anyseq_tpu.kernels import band
+
+                outs = band.score_pair(qp, sp, m, n, mode, sc)
+            else:
+                outs = xla_linmem.score_rows(qp, sp, m, n, mode, sc)
+            jax.block_until_ready(outs["best"])
+            return outs
+
+        return f, m * n
+
+    # config 1: ~1k bp global score-only
+    q, s = _mkpair(rng, 1000)
+    f, cells = score_fn(q, s, Mode.GLOBAL)
+    emit("global score 1k", _time(f), cells)
+
+    # config 2: 10k bp local + full traceback
+    n2 = 2000 if quick else 10000
+    q, s = _mkpair(rng, n2)
+    t0 = time.perf_counter()
+    aln = anyseq_tpu.align(q, s, "local", sc, traceback="full")
+    emit(f"local fulltb {n2//1000}k", time.perf_counter() - t0,
+         len(q) * len(s))
+
+    # config 3: 100k bp semiglobal + Hirschberg
+    n3 = 5000 if quick else 100000
+    q, s = _mkpair(rng, n3)
+    t0 = time.perf_counter()
+    aln = anyseq_tpu.align(q, s, "semiglobal", sc, traceback="hirschberg")
+    emit(f"semiglobal hirschberg {n3//1000}k", time.perf_counter() - t0,
+         2 * len(q) * len(s))  # ~2x area for lintime sweeps
+
+    # config 4: many-pair batch
+    npairs = 100 if quick else 2000
+    plen = 256
+    qs, ss = zip(*[_mkpair(rng, plen) for _ in range(npairs)])
+    t0 = time.perf_counter()
+    batch_eng.align_scores_batch(qs, ss, "local", sc)
+    dt = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    batch_eng.align_scores_batch(qs, ss, "local", sc)
+    dt = min(dt, time.perf_counter() - t0)
+    emit(f"batch local {npairs}x{plen}bp", dt, npairs * plen * plen)
+
+    # headline summary: peak score-only GCUPS
+    peak = max(r["gcups"] for r in results)
+    print(json.dumps({"metric": "suite peak GCUPS", "value": peak,
+                      "unit": "GCUPS"}), file=out)
+    return results
+
+
+if __name__ == "__main__":
+    p = argparse.ArgumentParser()
+    p.add_argument("--quick", action="store_true")
+    args = p.parse_args()
+    run(quick=args.quick)

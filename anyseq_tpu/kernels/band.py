@@ -12,19 +12,18 @@ TPU-first design (NOT a translation of the reference's GPU path):
   i.e. ~100% for large m (the reference GPU pays kernel-launch barriers
   per 128-wide block anti-diagonal instead, iteration_acc.impala:30-83).
 
-* Rolling state lives in vector registers: ``d1`` (previous diagonal),
-  ``d2s`` (shifted diagonal before that) and ``qd`` (query symbols along
-  the diagonal), shifted one lane per step via two ``pltpu.roll``s and a
-  lane-0 fixup.
+* Only the three rolling diagonals (``d1``, shifted ``d2s``, query
+  symbols ``qd``) are loop carries, shifted one lane per step via two
+  ``pltpu.roll``s and a lane-0 fixup; all accumulators (bottom row,
+  outgoing column, exact last column, local max) live in VMEM scratch and
+  are read-modify-written per step -- this Mosaic toolchain miscompiles /
+  hangs on many-carry loops containing rolls.
 
 * The only inter-window state is the boundary column (cell(i, j0-1) for
   all i) -- the linear-memory "column" vector of the reference
   (scoring.impala:218-259) -- kept in a VMEM scratch updated in place:
-  reads are chunked (8,128) vector loads (one chunk serves 1024 steps)
-  with per-step mask+reduce lane extraction; writes accumulate in a
-  vector register and flush chunk-wise. No scalar memory traffic in the
-  loop at all (Mosaic has no scalar VMEM access, and per-step SMEM access
-  stalls the vector pipeline).
+  per-step (8,128) chunk loads with mask+reduce lane extraction; no
+  scalar memory traffic anywhere in the loop.
 
 Grid: (num_windows,), sequential. Scores are int32; relaxation is
 max-of-three, bit-identical to the reference recurrence
@@ -81,7 +80,8 @@ def _make_kernel(mode: Mode, sc: LinearScoring, emit_col: bool):
         return j * 0
 
     def kernel(dims_ref, q_ref, s_ref, row_out_ref, col_out_ref,
-               best_out_ref, colbuf_s, smem_s):
+               best_out_ref, colbuf_s, lastrow_s, colacc_s, ecol_s,
+               vmax_s, vimax_s, smem_s):
         w = pl.program_id(0)
         m = dims_ref[0]
         n = dims_ref[1]
@@ -100,6 +100,14 @@ def _make_kernel(mode: Mode, sc: LinearScoring, emit_col: bool):
             smem_s[1] = -1
             smem_s[2] = -1
 
+        lastrow_s[:, :] = jnp.zeros((R, LANES), Score)
+        colacc_s[:, :] = jnp.zeros((R, LANES), Score)
+        if emit_col:
+            ecol_s[:, :] = jnp.zeros((R, LANES), Score)
+        if local:
+            vmax_s[:, :] = jnp.full((R, LANES), SCORE_MIN, Score)
+            vimax_s[:, :] = jnp.zeros((R, LANES), jnp.int32)
+
         s_syms = s_ref[:, :]
 
         # Initial rolling state: d1 = D_{-1} (lane 0 = up of cell(0, j0) =
@@ -107,32 +115,18 @@ def _make_kernel(mode: Mode, sc: LinearScoring, emit_col: bool):
         d1 = jnp.where(flat_iota == 0, topval(j0), 0).astype(Score)
         d2s = jnp.where(flat_iota == 0, topval(j0 - 1), 0).astype(Score)
         qd = jnp.zeros((R, LANES), jnp.int32)
-        lastrow = jnp.zeros((R, LANES), Score)
-        vmax = jnp.full((R, LANES), SCORE_MIN, Score)
-        vimax = jnp.zeros((R, LANES), jnp.int32)
-        colacc = jnp.zeros((R, LANES), Score)
-        ecol = jnp.zeros((R, LANES), Score)
-        qv = q_ref[0:R, :]
-        colv = colbuf_s[0:R, :]
 
         T = m + W - 1
 
         def step(t, carry):
-            (d1, d2s, qd, lastrow, vmax, vimax, colacc, ecol, qv,
-             colv) = carry
+            d1, d2s, qd = carry
             tm = jax.lax.rem(t, W)
-            # Clamp: q/col values are only consumed while t < m; the sweep
-            # tail (t up to m+W-2) must not load out of range.
-            chunk = jax.lax.div(jnp.minimum(t, m - 1), W)
-            crow = pl.multiple_of(chunk * R, R)
-
-            # Chunk rotation: one (8,128) load serves the next 1024 steps.
-            fresh = tm == 0
-            qv2 = q_ref[pl.ds(crow, R), :]
-            colv2 = colbuf_s[pl.ds(crow, R), :]
-            qv = jnp.where(fresh, qv2, qv)
-            colv = jnp.where(fresh, colv2, colv)
-
+            # q/col chunk values are only consumed while t < m; clamp so
+            # the sweep tail never loads out of range.
+            crow = pl.multiple_of(
+                jax.lax.div(jnp.minimum(t, m - 1), W) * R, R
+            )
+            qv = q_ref[pl.ds(crow, R), :]
             pos_mask = flat_iota == tm
 
             # Query symbol entering at lane 0: q[t]
@@ -143,10 +137,15 @@ def _make_kernel(mode: Mode, sc: LinearScoring, emit_col: bool):
             # Left boundary value cell(t, j0-1) at lane 0 (window 0 uses
             # the closed-form init column, scoring.impala:224-231)
             if is_global:
-                lcb0 = (t + 1) * gap
+                lcb = jnp.where(
+                    w == 0,
+                    (t + 1) * gap,
+                    _extract(colbuf_s[pl.ds(crow, R), :], pos_mask),
+                )
             else:
-                lcb0 = 0
-            lcb = jnp.where(w == 0, lcb0, _extract(colv, pos_mask))
+                lcb = jnp.where(
+                    w == 0, 0, _extract(colbuf_s[pl.ds(crow, R), :], pos_mask)
+                )
             d1s = _shift_j(d1, lane_iota)
             d1s = jnp.where(flat_iota == 0, lcb, d1s)
 
@@ -158,12 +157,14 @@ def _make_kernel(mode: Mode, sc: LinearScoring, emit_col: bool):
                 new = jnp.maximum(new, 0)
 
             # Outgoing boundary column: cell(i_out, j0+W-1), i_out = t-W+1,
-            # accumulated at position i_out % W and flushed chunk-wise
-            # (writes land on rows the in-place reads already consumed).
+            # accumulated at position i_out % W in scratch and flushed
+            # chunk-wise (in-place reads already consumed those rows).
             i_out = t - (W - 1)
             v_out = _extract(new, last_mask)
-            colacc = jnp.where(flat_iota == jax.lax.rem(t + 1, W), v_out,
-                               colacc)
+            colacc = jnp.where(
+                flat_iota == jax.lax.rem(t + 1, W), v_out, colacc_s[:, :]
+            )
+            colacc_s[:, :] = colacc
 
             @pl.when(i_out >= 0)
             def _():
@@ -171,50 +172,49 @@ def _make_kernel(mode: Mode, sc: LinearScoring, emit_col: bool):
                 colbuf_s[pl.ds(orow, R), :] = colacc
 
             if emit_col:
-                i_e = t - edge
-                v_e = _extract(new, flat_iota == edge)
-                ecol = jnp.where(
-                    jnp.logical_and(is_edge_w,
-                                    flat_iota == jax.lax.rem(i_e, W)),
-                    v_e, ecol,
-                )
-
-                @pl.when(
-                    jnp.logical_and(
-                        is_edge_w,
-                        jnp.logical_and(i_e >= 0, i_e < m),
-                    )
-                )
+                @pl.when(is_edge_w)
                 def _():
-                    erow = pl.multiple_of(jax.lax.div(i_e, W) * R, R)
-                    col_out_ref[pl.ds(erow, R), :] = ecol
+                    i_e = t - edge
+                    v_e = _extract(new, flat_iota == edge)
+                    ecol = jnp.where(
+                        flat_iota == jax.lax.rem(i_e, W), v_e, ecol_s[:, :]
+                    )
+                    ecol_s[:, :] = ecol
+
+                    @pl.when(jnp.logical_and(i_e >= 0, i_e < m))
+                    def _():
+                        erow = pl.multiple_of(jax.lax.div(i_e, W) * R, R)
+                        col_out_ref[pl.ds(erow, R), :] = ecol
 
             # Bottom row H[m-1]: position t-(m-1) per step
-            lastrow = jnp.where(flat_iota == t - (m - 1), new, lastrow)
+            lastrow_s[:, :] = jnp.where(
+                flat_iota == t - (m - 1), new, lastrow_s[:, :]
+            )
 
             if local:
                 valid = jnp.logical_and(
                     jnp.logical_and(flat_iota <= t, flat_iota > t - m),
                     j0 + flat_iota < n,
                 )
-                better = jnp.logical_and(valid, new > vmax)
-                vmax = jnp.where(better, new, vmax)
-                vimax = jnp.where(better, t - flat_iota, vimax)
+                better = jnp.logical_and(valid, new > vmax_s[:, :])
+                vimax_s[:, :] = jnp.where(
+                    better, t - flat_iota, vimax_s[:, :]
+                )
+                vmax_s[:, :] = jnp.where(better, new, vmax_s[:, :])
 
             # Top boundary row injection for D_t: lane t+1 = topval(j0+t+1)
             rw = jnp.where(flat_iota == t + 1, topval(j0 + t + 1), new)
-            return (rw, d1s, qd, lastrow, vmax, vimax, colacc, ecol, qv,
-                    colv)
+            return rw, d1s, qd
 
-        carry = (d1, d2s, qd, lastrow, vmax, vimax, colacc, ecol, qv, colv)
-        carry = jax.lax.fori_loop(0, T, step, carry)
-        (d1, d2s, qd, lastrow, vmax, vimax, colacc, ecol, qv, colv) = carry
+        d1, d2s, qd = jax.lax.fori_loop(0, T, step, (d1, d2s, qd))
 
-        row_out_ref[:, :] = lastrow
+        row_out_ref[:, :] = lastrow_s[:, :]
 
         if local:
             # Merge this window's best into the running best with row-major
             # first-occurrence tie-breaking (smallest i, then smallest j).
+            vmax = vmax_s[:, :]
+            vimax = vimax_s[:, :]
             mval = jnp.max(vmax)
             icand = jnp.where(vmax == mval, vimax, jnp.int32(2**30))
             imin = jnp.min(icand)
@@ -306,8 +306,13 @@ def _score_padded(q2, s2, m, n, mode: Mode, sc: LinearScoring,
             jax.ShapeDtypeStruct((4,), jnp.int32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((MR, LANES), Score),  # colbuf
-            pltpu.SMEM((8,), jnp.int32),     # running best
+            pltpu.VMEM((MR, LANES), Score),   # colbuf
+            pltpu.VMEM((R, LANES), Score),    # lastrow
+            pltpu.VMEM((R, LANES), Score),    # colacc
+            pltpu.VMEM((R, LANES), Score),    # ecol
+            pltpu.VMEM((R, LANES), Score),    # vmax
+            pltpu.VMEM((R, LANES), jnp.int32),  # vimax
+            pltpu.SMEM((8,), jnp.int32),      # running best
         ],
         interpret=interpret,
     )(dims, q2, s2)
