@@ -5,25 +5,31 @@ TPU-first design (NOT a translation of the reference's GPU path):
 * A *window* is W = 8*128 = 1024 consecutive subject positions held as one
   (8, 128) vector register (j = sublane*128 + lane, row-major). Each
   window sweeps the ENTIRE query height in one parallelogram of
-  ``m + W - 1`` anti-diagonal steps; every step relaxes 1024 DP cells with
+  ~``m + W`` anti-diagonal steps; every step relaxes 1024 DP cells with
   full-width VPU ops. Because the sweep is continuous there are no
   horizontal band boundaries at all -- the top boundary row is a closed
-  form injected per step, and parallelogram efficiency is m/(m+W-1),
-  i.e. ~100% for large m (the reference GPU pays kernel-launch barriers
-  per 128-wide block anti-diagonal instead, iteration_acc.impala:30-83).
+  form injected per step, and parallelogram efficiency is ~100% for large
+  m (the reference GPU pays kernel-launch barriers per 128-wide block
+  anti-diagonal instead, iteration_acc.impala:30-83).
 
-* Only the three rolling diagonals (``d1``, shifted ``d2s``, query
-  symbols ``qd``) are loop carries, shifted one lane per step via two
-  ``pltpu.roll``s and a lane-0 fixup; all accumulators (bottom row,
-  outgoing column, exact last column, local max) live in VMEM scratch and
-  are read-modify-written per step -- this Mosaic toolchain miscompiles /
-  hangs on many-carry loops containing rolls.
+* The dataflow is *fully positional* -- no cross-lane reductions on the
+  critical path. Rolling state in vector registers, all shifted by one
+  position per step via two ``pltpu.roll``s and a lane fixup:
+    d1, d2s  -- previous two anti-diagonals (shift right)
+    qd       -- query symbols along the diagonal (shift right)
+    qfeed    -- upcoming query symbols; position 0 is always q[t]
+                (shift left, chunk-reloaded every W steps)
+    colfeed  -- upcoming left-boundary values; position 0 is always
+                cell(t, j0-1) (shift left, chunk-reloaded)
+    colacc   -- outgoing boundary column; each step the value at the
+                window's last position enters at position W-1 and shifts
+                left, so a finished chunk is exactly in layout order and
+                flushes with one aligned vector store every W steps.
 
-* The only inter-window state is the boundary column (cell(i, j0-1) for
-  all i) -- the linear-memory "column" vector of the reference
-  (scoring.impala:218-259) -- kept in a VMEM scratch updated in place:
-  per-step (8,128) chunk loads with mask+reduce lane extraction; no
-  scalar memory traffic anywhere in the loop.
+* The only inter-window state is the boundary column (the linear-memory
+  "column" vector of the reference, scoring.impala:218-259) in a VMEM
+  scratch updated in place; chunk reads always precede the in-place
+  writes of the same rows by a full window width.
 
 Grid: (num_windows,), sequential. Scores are int32; relaxation is
 max-of-three, bit-identical to the reference recurrence
@@ -54,17 +60,24 @@ W = R * LANES
 M_MAX = 512 * 1024
 
 
-def _shift_j(x, lane_iota):
-    """shifted[j] = x[j-1] in the row-major (R,128) linearization.
-
-    Position (0,0) receives wrap garbage; callers overwrite it."""
+def _shift_r(x, lane_iota):
+    """shifted[p] = x[p-1] (row-major). Position (0,0) gets wrap garbage."""
     a = pltpu.roll(x, 1, 1)
     b = pltpu.roll(a, 1, 0)
     return jnp.where(lane_iota == 0, b, a)
 
 
+def _shift_l(x, lane_iota):
+    """shifted[p] = x[p+1]. Position (R-1,127) gets wrap garbage.
+    (pltpu.roll requires non-negative shifts; left = roll by size-1.)"""
+    a = pltpu.roll(x, LANES - 1, 1)
+    b = pltpu.roll(a, R - 1, 0)
+    return jnp.where(lane_iota == LANES - 1, b, a)
+
+
 def _extract(vec, mask):
-    """Scalar value of the single position where mask is True."""
+    """Scalar value of the single position where mask is True (off the
+    hot path -- only used for edge-column emission)."""
     return jnp.max(jnp.where(mask, vec, SCORE_MIN))
 
 
@@ -80,13 +93,13 @@ def _make_kernel(mode: Mode, sc: LinearScoring, emit_col: bool):
         return j * 0
 
     def kernel(dims_ref, q_ref, s_ref, row_out_ref, col_out_ref,
-               best_out_ref, colbuf_s, lastrow_s, colacc_s, ecol_s,
-               vmax_s, vimax_s, smem_s):
+               best_out_ref, colbuf_s, qfeed_s, colfeed_s, lastrow_s,
+               colacc_s, ecol_s, vmax_s, vimax_s, smem_s):
         w = pl.program_id(0)
         m = dims_ref[0]
         n = dims_ref[1]
         j0 = w * W
-        edge = n - 1 - j0  # lane of the true last column, if within [0, W)
+        edge = n - 1 - j0  # position of the true last column, if in [0, W)
         is_edge_w = jnp.logical_and(edge >= 0, edge < W)
 
         lane_iota = jax.lax.broadcasted_iota(jnp.int32, (R, LANES), 1)
@@ -100,8 +113,6 @@ def _make_kernel(mode: Mode, sc: LinearScoring, emit_col: bool):
             smem_s[1] = -1
             smem_s[2] = -1
 
-        lastrow_s[:, :] = jnp.zeros((R, LANES), Score)
-        colacc_s[:, :] = jnp.zeros((R, LANES), Score)
         if emit_col:
             ecol_s[:, :] = jnp.zeros((R, LANES), Score)
         if local:
@@ -110,103 +121,141 @@ def _make_kernel(mode: Mode, sc: LinearScoring, emit_col: bool):
 
         s_syms = s_ref[:, :]
 
-        # Initial rolling state: d1 = D_{-1} (lane 0 = up of cell(0, j0) =
-        # topval(j0)); d2s = shift(D_{-2}) (lane 0 = corner topval(j0-1)).
+        # Initial rolling state: d1 = D_{-1} (pos 0 = up of cell(0, j0) =
+        # topval(j0)); d2s = shift(D_{-2}) (pos 0 = corner topval(j0-1)).
         d1 = jnp.where(flat_iota == 0, topval(j0), 0).astype(Score)
         d2s = jnp.where(flat_iota == 0, topval(j0 - 1), 0).astype(Score)
         qd = jnp.zeros((R, LANES), jnp.int32)
+        qfeed_s[:, :] = q_ref[0:R, :]
+        colfeed_s[:, :] = colbuf_s[0:R, :]
+        lastrow_s[:, :] = jnp.zeros((R, LANES), Score)
+        colacc_s[:, :] = jnp.zeros((R, LANES), Score)
 
-        T = m + W - 1
+        # Sweep to the end of the last (possibly padding) chunk so every
+        # colacc chunk flushes inside the loop; the trip count is a
+        # multiple of the unroll factor U (8 | W so chunk events land on
+        # fixed substeps).
+        U = 16
+        Mr_used = jax.lax.div(m + W - 1, W)
+        T = Mr_used * W + W  # multiple of U covering Mr_used*W + W - 1
 
-        def step(t, carry):
+        def iter8(it, carry):
             d1, d2s, qd = carry
-            tm = jax.lax.rem(t, W)
-            # q/col chunk values are only consumed while t < m; clamp so
-            # the sweep tail never loads out of range.
+            t0 = it * U
+            tm = jax.lax.rem(t0, W)
+            fresh = tm == 0
+            # chunk loads clamp at m-1: values are only consumed for t < m
             crow = pl.multiple_of(
-                jax.lax.div(jnp.minimum(t, m - 1), W) * R, R
+                jax.lax.div(jnp.minimum(t0, m - 1), W) * R, R
             )
-            qv = q_ref[pl.ds(crow, R), :]
-            pos_mask = flat_iota == tm
-
-            # Query symbol entering at lane 0: q[t]
-            qt = _extract(qv, pos_mask)
-            qd = _shift_j(qd, lane_iota)
-            qd = jnp.where(flat_iota == 0, qt, qd)
-
-            # Left boundary value cell(t, j0-1) at lane 0 (window 0 uses
-            # the closed-form init column, scoring.impala:224-231)
-            if is_global:
-                lcb = jnp.where(
-                    w == 0,
-                    (t + 1) * gap,
-                    _extract(colbuf_s[pl.ds(crow, R), :], pos_mask),
-                )
-            else:
-                lcb = jnp.where(
-                    w == 0, 0, _extract(colbuf_s[pl.ds(crow, R), :], pos_mask)
-                )
-            d1s = _shift_j(d1, lane_iota)
-            d1s = jnp.where(flat_iota == 0, lcb, d1s)
-
-            sub = jnp.where(qd == s_syms, sc.match, sc.mismatch).astype(Score)
-            new = d2s + sub
-            new = jnp.maximum(new, d1s + gap)
-            new = jnp.maximum(new, d1 + gap)
+            qfeed = jnp.where(fresh, q_ref[pl.ds(crow, R), :],
+                              qfeed_s[:, :])
+            colfeed = jnp.where(fresh, colbuf_s[pl.ds(crow, R), :],
+                                colfeed_s[:, :])
+            lastrow = lastrow_s[:, :]
+            colacc = colacc_s[:, :]
             if local:
-                new = jnp.maximum(new, 0)
+                vmax = vmax_s[:, :]
+                vimax = vimax_s[:, :]
 
-            # Outgoing boundary column: cell(i_out, j0+W-1), i_out = t-W+1,
-            # accumulated at position i_out % W in scratch and flushed
-            # chunk-wise (in-place reads already consumed those rows).
-            i_out = t - (W - 1)
-            v_out = _extract(new, last_mask)
-            colacc = jnp.where(
-                flat_iota == jax.lax.rem(t + 1, W), v_out, colacc_s[:, :]
-            )
-            colacc_s[:, :] = colacc
+            for k in range(U):
+                t = t0 + k
 
-            @pl.when(i_out >= 0)
-            def _():
-                orow = pl.multiple_of(jax.lax.div(i_out, W) * R, R)
-                colbuf_s[pl.ds(orow, R), :] = colacc
+                # Query symbol entering the diagonal at position 0: q[t]
+                # == qfeed position 0 (purely positional select).
+                qd = _shift_r(qd, lane_iota)
+                qd = jnp.where(flat_iota == 0, qfeed, qd)
 
-            if emit_col:
-                @pl.when(is_edge_w)
-                def _():
-                    i_e = t - edge
-                    v_e = _extract(new, flat_iota == edge)
-                    ecol = jnp.where(
-                        flat_iota == jax.lax.rem(i_e, W), v_e, ecol_s[:, :]
+                # Left boundary cell(t, j0-1) at position 0 (window 0
+                # uses the closed-form init column, scoring.impala:224).
+                if is_global:
+                    lcb0 = (t + 1) * gap
+                else:
+                    lcb0 = 0
+                d1s = _shift_r(d1, lane_iota)
+                d1s = jnp.where(
+                    flat_iota == 0,
+                    jnp.where(w == 0, lcb0, colfeed),
+                    d1s,
+                )
+
+                sub = jnp.where(
+                    qd == s_syms, sc.match, sc.mismatch
+                ).astype(Score)
+                new = d2s + sub
+                new = jnp.maximum(new, d1s + gap)
+                new = jnp.maximum(new, d1 + gap)
+                if local:
+                    new = jnp.maximum(new, 0)
+
+                # Outgoing boundary column: the value at position W-1
+                # (cell (t-W+1, j0+W-1)) enters colacc at position W-1
+                # and shifts left; a complete chunk is in layout order.
+                colacc = jnp.where(last_mask, new,
+                                   _shift_l(colacc, lane_iota))
+
+                # Chunk flush when (t+2) % W == 0, i.e. substep W-2 mod U
+                if k == (W - 2) % U:
+                    @pl.when(jnp.logical_and(
+                        t >= 2 * W - 2, jax.lax.rem(t + 2, W) == 0
+                    ))
+                    def _(colacc=colacc, t=t):
+                        c = jax.lax.div(t + 2, W) - 2
+                        orow = pl.multiple_of(c * R, R)
+                        colbuf_s[pl.ds(orow, R), :] = colacc
+
+                if emit_col:
+                    # Exact last-column emission (edge window only; the
+                    # reduce is off the hot path: 1/num_windows of steps)
+                    @pl.when(is_edge_w)
+                    def _(new=new, t=t):
+                        i_e = t - edge
+                        v_e = _extract(new, flat_iota == edge)
+                        ecol = jnp.where(
+                            flat_iota == jax.lax.rem(i_e, W), v_e,
+                            ecol_s[:, :],
+                        )
+                        ecol_s[:, :] = ecol
+
+                        @pl.when(jnp.logical_and(i_e >= 0, i_e < m))
+                        def _():
+                            erow = pl.multiple_of(
+                                jax.lax.div(i_e, W) * R, R
+                            )
+                            col_out_ref[pl.ds(erow, R), :] = ecol
+
+                # Bottom row H[m-1]: position t-(m-1) per step
+                lastrow = jnp.where(flat_iota == t - (m - 1), new, lastrow)
+
+                if local:
+                    valid = jnp.logical_and(
+                        jnp.logical_and(flat_iota <= t, flat_iota > t - m),
+                        j0 + flat_iota < n,
                     )
-                    ecol_s[:, :] = ecol
+                    better = jnp.logical_and(valid, new > vmax)
+                    vimax = jnp.where(better, t - flat_iota, vimax)
+                    vmax = jnp.where(better, new, vmax)
 
-                    @pl.when(jnp.logical_and(i_e >= 0, i_e < m))
-                    def _():
-                        erow = pl.multiple_of(jax.lax.div(i_e, W) * R, R)
-                        col_out_ref[pl.ds(erow, R), :] = ecol
+                # Top boundary row injection for D_t: position t+1 =
+                # topval(j0+t+1) (closed-form broadcast select).
+                rw = jnp.where(flat_iota == t + 1, topval(j0 + t + 1), new)
 
-            # Bottom row H[m-1]: position t-(m-1) per step
-            lastrow_s[:, :] = jnp.where(
-                flat_iota == t - (m - 1), new, lastrow_s[:, :]
-            )
+                d2s = d1s
+                d1 = rw
+                qfeed = _shift_l(qfeed, lane_iota)
+                colfeed = _shift_l(colfeed, lane_iota)
 
+            qfeed_s[:, :] = qfeed
+            colfeed_s[:, :] = colfeed
+            lastrow_s[:, :] = lastrow
+            colacc_s[:, :] = colacc
             if local:
-                valid = jnp.logical_and(
-                    jnp.logical_and(flat_iota <= t, flat_iota > t - m),
-                    j0 + flat_iota < n,
-                )
-                better = jnp.logical_and(valid, new > vmax_s[:, :])
-                vimax_s[:, :] = jnp.where(
-                    better, t - flat_iota, vimax_s[:, :]
-                )
-                vmax_s[:, :] = jnp.where(better, new, vmax_s[:, :])
+                vmax_s[:, :] = vmax
+                vimax_s[:, :] = vimax
+            return d1, d2s, qd
 
-            # Top boundary row injection for D_t: lane t+1 = topval(j0+t+1)
-            rw = jnp.where(flat_iota == t + 1, topval(j0 + t + 1), new)
-            return rw, d1s, qd
-
-        d1, d2s, qd = jax.lax.fori_loop(0, T, step, (d1, d2s, qd))
+        carry = (d1, d2s, qd)
+        carry = jax.lax.fori_loop(0, jax.lax.div(T, U), iter8, carry)
 
         row_out_ref[:, :] = lastrow_s[:, :]
 
@@ -306,13 +355,15 @@ def _score_padded(q2, s2, m, n, mode: Mode, sc: LinearScoring,
             jax.ShapeDtypeStruct((4,), jnp.int32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((MR, LANES), Score),   # colbuf
-            pltpu.VMEM((R, LANES), Score),    # lastrow
-            pltpu.VMEM((R, LANES), Score),    # colacc
-            pltpu.VMEM((R, LANES), Score),    # ecol
-            pltpu.VMEM((R, LANES), Score),    # vmax
+            pltpu.VMEM((MR, LANES), Score),     # colbuf
+            pltpu.VMEM((R, LANES), jnp.int32),  # qfeed
+            pltpu.VMEM((R, LANES), Score),      # colfeed
+            pltpu.VMEM((R, LANES), Score),      # lastrow
+            pltpu.VMEM((R, LANES), Score),      # colacc
+            pltpu.VMEM((R, LANES), Score),      # ecol
+            pltpu.VMEM((R, LANES), Score),      # vmax
             pltpu.VMEM((R, LANES), jnp.int32),  # vimax
-            pltpu.SMEM((8,), jnp.int32),      # running best
+            pltpu.SMEM((8,), jnp.int32),        # running best
         ],
         interpret=interpret,
     )(dims, q2, s2)
