@@ -1,43 +1,67 @@
-"""Pallas TPU wavefront kernel: continuous-column anti-diagonal sweeps.
+"""Pallas TPU wavefront kernel: staggered concurrent anti-diagonal sweeps.
 
-TPU-first design (NOT a translation of the reference's GPU path):
+TPU-first design (NOT a translation of the reference's GPU path;
+reference recurrence: align.impala:46-79, linear-memory boundary vectors:
+scoring.impala:218-259).
 
-* A *window* is W = 8*128 = 1024 consecutive subject positions held as one
-  (8, 128) vector register (j = sublane*128 + lane, row-major). Each
-  window sweeps the ENTIRE query height in one parallelogram of
-  ~``m + W`` anti-diagonal steps; every step relaxes 1024 DP cells with
-  full-width VPU ops. Because the sweep is continuous there are no
-  horizontal band boundaries at all -- the top boundary row is a closed
-  form injected per step, and parallelogram efficiency is ~100% for large
-  m (the reference GPU pays kernel-launch barriers per 128-wide block
-  anti-diagonal instead, iteration_acc.impala:30-83).
+Geometry
+--------
+A *window* is W = R*128 consecutive subject positions held as one (R, 128)
+vector register (position p = sublane*128 + lane, row-major). A window
+sweeps the whole query height as one parallelogram: at step t, position p
+relaxes DP cell (i = t - p, j = j0 + p), so every step updates W cells
+with full-width VPU ops.
 
-* The dataflow is *fully positional* -- no cross-lane reductions on the
-  critical path. Rolling state in vector registers, all shifted by one
-  position per step via two ``pltpu.roll``s and a lane fixup:
-    d1, d2s  -- previous two anti-diagonals (shift right)
-    qd       -- query symbols along the diagonal (shift right)
-    qfeed    -- upcoming query symbols; position 0 is always q[t]
-                (shift left, chunk-reloaded every W steps)
-    colfeed  -- upcoming left-boundary values; position 0 is always
-                cell(t, j0-1) (shift left, chunk-reloaded)
-    colacc   -- outgoing boundary column; each step the value at the
-                window's last position enters at position W-1 and shifts
-                left, so a finished chunk is exactly in layout order and
-                flushes with one aligned vector store every W steps.
+The DP recurrence is a serial dependency chain (D_t needs D_{t-1}), so a
+single window is *latency-bound*: ~8 dependent VPU ops per step no matter
+how wide the vector. Measured on TPU v5e, 1 chain hits ~19 Gcells/s while
+6 concurrent chains hit ~83 Gcells/s. Therefore the kernel runs G windows
+CONCURRENTLY, staggered by S = W + 128 steps: window g+1 consumes the
+boundary column emitted by window g with a lag that 128-row chunking
+makes as small as S (window g's column row r is flushed at its local step
+128r + W + 126; window g+1 loads it at local step 128r; S >= W + 128
+orders every write before its read in program order). The G dependency
+chains are independent within a step, filling the VPU pipeline.
 
-* The only inter-window state is the boundary column (the linear-memory
-  "column" vector of the reference, scoring.impala:218-259) in a VMEM
-  scratch updated in place; chunk reads always precede the in-place
-  writes of the same rows by a full window width.
+Rolling state per chain (all in vector registers, positional dataflow --
+no cross-lane reductions on the hot path):
+  d1, d2s -- previous two anti-diagonals, shifted right by one position
+             per step (2 rolls + lane fixup).
+  qd      -- query symbols along the diagonal (shift right; q[t] is
+             inserted at position 0 from qfeed).
+  qfeed   -- (1,128) upcoming query symbols; lane 0 is always q[t]
+             (single-row roll per step; reloaded every 128 steps).
+  colfeed -- (1,128) upcoming left-boundary values cell(t, j0-1)
+             (same discipline; fed from the shared colbuf scratch).
+  colacc  -- (1,128) outgoing boundary column: each step the value at
+             position W-1 (cell(t-W+1, j0+W-1)) enters at lane 127 and
+             rolls left; every 128 steps lane L holds exactly
+             cell(128r + L, j0+W-1) and the row flushes with one aligned
+             (1,128) store to colbuf.
+  lastrow -- bottom row H[m-1]: cell (m-1, j0+p) is computed at step
+             t = m-1+p *at position p*, so a masked select collects it
+             in place (no movement).
+  vmax/vimax -- local-mode running max + its i per position.
+  ecol    -- (R,128) rotating collector for the true last column j = n-1
+             (edge window only): the value at fixed position `edge` is
+             inserted each step while the buffer rotates left, and the
+             raw rotated buffer is flushed every W steps; a cheap gather
+             (`_unrotate_ecol`) restores layout order afterwards. This
+             replaces a per-step cross-lane extract + store (which made
+             the edge window ~4x slower than the rest).
 
-Grid: (num_windows,), sequential. Scores are int32; relaxation is
-max-of-three, bit-identical to the reference recurrence
-(align.impala:46-79).
+The only inter-window state is the boundary column in a VMEM scratch
+updated in place (the linear-memory "column" vector of the reference);
+every read of a row precedes the overwrite of that row by construction
+of the stagger.
+
+Grid: (num_groups,), sequential; each grid step runs G windows to
+completion (T + (G-1)*S steps). Scores are int32; relaxation is
+max-of-three with the reference's strict-> tie-breaking.
 
 Capacity: the column scratch is O(M) VMEM, capping single-call height at
-M_MAX rows; taller problems fall back to the XLA engine (a banded/HBM-DMA
-variant is the planned extension).
+M_MAX rows; taller problems fall back to the XLA engine or the sharded
+path.
 """
 from __future__ import annotations
 
@@ -55,244 +79,285 @@ R = 8
 LANES = 128
 W = R * LANES
 
-# VMEM cap for the column scratch (+ q + optional col_out): 512k rows of
+# Concurrent staggered windows per kernel instance (dependency chains in
+# flight). Measured sweet spot on TPU v5e; must keep register pressure
+# below spill threshold.
+DEFAULT_G = 4
+
+# Stagger between consecutive windows' local clocks, in steps. Must be
+# >= W + 128 (boundary-row availability) and a multiple of 128 (keeps
+# every chain's chunk events at the same unrolled substep).
+STAGGER = W + LANES
+
+# Unroll factor of the step loop. Chunk events land at fixed substeps:
+# reloads at k=0 (t % 128 == 0), flushes at k=14 (t % 128 == 126).
+U = 16
+
+# VMEM cap for the column scratch (+ q + ecol staging): 512k rows of
 # int32 = 2 MiB per buffer.
 M_MAX = 512 * 1024
 
 
 def _shift_r(x, lane_iota):
-    """shifted[p] = x[p-1] (row-major). Position (0,0) gets wrap garbage."""
+    """shifted[p] = x[p-1] (row-major). Position (0,0) gets wrap garbage
+    (always overwritten by an insert)."""
     a = pltpu.roll(x, 1, 1)
     b = pltpu.roll(a, 1, 0)
     return jnp.where(lane_iota == 0, b, a)
 
 
-def _shift_l(x, lane_iota):
-    """shifted[p] = x[p+1]. Position (R-1,127) gets wrap garbage.
-    (pltpu.roll requires non-negative shifts; left = roll by size-1.)"""
+def _rot_l(x, lane_iota):
+    """True flat rotation by one position left over (R,128) row-major:
+    position p gets x[(p+1) % W]."""
     a = pltpu.roll(x, LANES - 1, 1)
     b = pltpu.roll(a, R - 1, 0)
     return jnp.where(lane_iota == LANES - 1, b, a)
 
 
-def _extract(vec, mask):
-    """Scalar value of the single position where mask is True (off the
-    hot path -- only used for edge-column emission)."""
-    return jnp.max(jnp.where(mask, vec, SCORE_MIN))
-
-
-def _make_kernel(mode: Mode, sc: LinearScoring, emit_col: bool):
+def _make_kernel(mode: Mode, sc: LinearScoring, emit_col: bool, G: int):
     local = mode is Mode.LOCAL
     is_global = mode is Mode.GLOBAL
     gap = sc.gap
+    S = STAGGER
 
     def topval(j):
-        """Boundary row cell(-1, j) (j may be negative: the corner chain)."""
+        """Boundary row cell(-1, j) (j may be negative: the corner
+        chain), closed form (align.impala:85-90)."""
         if is_global:
             return (j + 1) * gap
         return j * 0
 
-    def kernel(dims_ref, q_ref, s_ref, row_out_ref, col_out_ref,
-               best_out_ref, colbuf_s, qfeed_s, colfeed_s, lastrow_s,
-               colacc_s, ecol_s, vmax_s, vimax_s, smem_s):
-        w = pl.program_id(0)
+    def kernel(dims_ref, q_ref, s_ref, row_out_ref, ecol_out_ref,
+               best_out_ref, colbuf_s, smem_s):
+        gr = pl.program_id(0)
         m = dims_ref[0]
         n = dims_ref[1]
-        j0 = w * W
-        edge = n - 1 - j0  # position of the true last column, if in [0, W)
-        is_edge_w = jnp.logical_and(edge >= 0, edge < W)
+        mr_rows = q_ref.shape[0]          # M_pad // 128 (static)
+        nrm = jax.lax.div(m + 127, 128)   # used colbuf rows (dynamic)
 
         lane_iota = jax.lax.broadcasted_iota(jnp.int32, (R, LANES), 1)
         sub_iota = jax.lax.broadcasted_iota(jnp.int32, (R, LANES), 0)
         flat_iota = sub_iota * LANES + lane_iota
-        last_mask = flat_iota == W - 1
+        row_iota = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
 
-        @pl.when(w == 0)
+        @pl.when(gr == 0)
         def _():
             smem_s[0] = SCORE_MIN
             smem_s[1] = -1
             smem_s[2] = -1
 
-        if emit_col:
-            ecol_s[:, :] = jnp.zeros((R, LANES), Score)
-        if local:
-            vmax_s[:, :] = jnp.full((R, LANES), SCORE_MIN, Score)
-            vimax_s[:, :] = jnp.zeros((R, LANES), jnp.int32)
+        # Per-window sweep length: colacc's last flush (row nrm-1) is at
+        # t = 128*(nrm-1) + W + 126; ecol needs a flush at
+        # t >= m-1+edge (+W margin covers any edge in [0, W)).
+        T = 128 * nrm + W + (W if emit_col else 0)
+        T_total = T + (G - 1) * S
 
-        s_syms = s_ref[:, :]
+        zero8 = jnp.zeros((R, LANES), Score)
+        zrow = jnp.zeros((1, LANES), Score)
+        s_syms = [s_ref[g * R:(g + 1) * R, :] for g in range(G)]
 
-        # Initial rolling state: d1 = D_{-1} (pos 0 = up of cell(0, j0) =
-        # topval(j0)); d2s = shift(D_{-2}) (pos 0 = corner topval(j0-1)).
-        d1 = jnp.where(flat_iota == 0, topval(j0), 0).astype(Score)
-        d2s = jnp.where(flat_iota == 0, topval(j0 - 1), 0).astype(Score)
-        qd = jnp.zeros((R, LANES), jnp.int32)
-        qfeed_s[:, :] = q_ref[0:R, :]
-        colfeed_s[:, :] = colbuf_s[0:R, :]
-        lastrow_s[:, :] = jnp.zeros((R, LANES), Score)
-        colacc_s[:, :] = jnp.zeros((R, LANES), Score)
+        # Per-chain static-at-trace-time values that depend only on g.
+        j0s = [(gr * G + g) * W for g in range(G)]
+        edges = [n - 1 - j0s[g] for g in range(G)]
+        is_edge = [jnp.logical_and(edges[g] >= 0, edges[g] < W)
+                   for g in range(G)]
+        emask = [flat_iota == edges[g] for g in range(G)]
 
-        # Sweep to the end of the last (possibly padding) chunk so every
-        # colacc chunk flushes inside the loop; the trip count is a
-        # multiple of the unroll factor U (8 | W so chunk events land on
-        # fixed substeps).
-        U = 16
-        Mr_used = jax.lax.div(m + W - 1, W)
-        T = Mr_used * W + W  # multiple of U covering Mr_used*W + W - 1
-
-        def iter8(it, carry):
-            d1, d2s, qd = carry
-            t0 = it * U
-            tm = jax.lax.rem(t0, W)
-            fresh = tm == 0
-            # chunk loads clamp at m-1: values are only consumed for t < m
-            crow = pl.multiple_of(
-                jax.lax.div(jnp.minimum(t0, m - 1), W) * R, R
-            )
-            qfeed = jnp.where(fresh, q_ref[pl.ds(crow, R), :],
-                              qfeed_s[:, :])
-            colfeed = jnp.where(fresh, colbuf_s[pl.ds(crow, R), :],
-                                colfeed_s[:, :])
-            lastrow = lastrow_s[:, :]
-            colacc = colacc_s[:, :]
+        def fresh_state(g):
+            d1 = jnp.where(flat_iota == 0, topval(j0s[g]), 0).astype(Score)
+            d2s = jnp.where(
+                flat_iota == 0, topval(j0s[g] - 1), 0
+            ).astype(Score)
+            st = [d1, d2s, jnp.zeros((R, LANES), jnp.int32),  # qd
+                  zrow, zrow, zrow,                 # qfeed, colfeed, colacc
+                  zero8]                            # lastrow
             if local:
-                vmax = vmax_s[:, :]
-                vimax = vimax_s[:, :]
+                st += [jnp.full((R, LANES), SCORE_MIN, Score),
+                       jnp.zeros((R, LANES), jnp.int32)]
+            if emit_col:
+                st += [zero8]
+            return tuple(st)
+
+        def block(b, carry):
+            tau0 = b * U
+            t0s = [tau0 - g * S for g in range(G)]
+            sts = []
+            # Per-chain block-level events, then the step loop interleaves
+            # one step of EVERY chain before advancing (k outer, g inner):
+            # the G dependency chains are independent, so interleaving
+            # fills the VPU pipeline that a single chain leaves stalled.
+            for g in range(G):
+                t0 = t0s[g]
+                st = list(carry[g])
+                # Chain (re)birth: local step 0 resets the rolling state.
+                st = [jnp.where(t0 == 0, f, c)
+                      for f, c in zip(fresh_state(g), st)]
+                # Chunk reloads every 128 steps (row = t/128, clamped;
+                # values are only consumed while 0 <= t < m).
+                t0c = jnp.maximum(t0, 0)
+                fresh = jax.lax.rem(t0c, 128) == 0
+                crow = jnp.minimum(jax.lax.div(t0c, 128), mr_rows - 1)
+                st[3] = jnp.where(fresh, q_ref[pl.ds(crow, 1), :], st[3])
+                st[4] = jnp.where(
+                    fresh, colbuf_s[pl.ds(crow, 1), :], st[4]
+                )
+                sts.append(st)
 
             for k in range(U):
-                t = t0 + k
+                for g in range(G):
+                    t = t0s[g] + k
+                    (d1, d2s, qd, qfeed, colfeed, colacc, lastrow,
+                     *rest) = sts[g]
 
-                # Query symbol entering the diagonal at position 0: q[t]
-                # == qfeed position 0 (purely positional select).
-                qd = _shift_r(qd, lane_iota)
-                qd = jnp.where(flat_iota == 0, qfeed, qd)
+                    # Query symbol entering the diagonal at position 0:
+                    # q[t] == qfeed lane 0 (purely positional select).
+                    qd = _shift_r(qd, lane_iota)
+                    qd = jnp.where(flat_iota == 0, qfeed, qd)
 
-                # Left boundary cell(t, j0-1) at position 0 (window 0
-                # uses the closed-form init column, scoring.impala:224).
-                if is_global:
-                    lcb0 = (t + 1) * gap
-                else:
-                    lcb0 = 0
-                d1s = _shift_r(d1, lane_iota)
-                d1s = jnp.where(
-                    flat_iota == 0,
-                    jnp.where(w == 0, lcb0, colfeed),
-                    d1s,
+                    # Left boundary cell(t, j0-1) at position 0. The very
+                    # first window uses the closed-form init column
+                    # (scoring.impala:224).
+                    d1s = _shift_r(d1, lane_iota)
+                    if g == 0:
+                        lcb0 = (t + 1) * gap if is_global else 0
+                        lcb = jnp.where(gr == 0, lcb0, colfeed)
+                    else:
+                        lcb = colfeed
+                    d1s = jnp.where(flat_iota == 0, lcb, d1s)
+
+                    sub = jnp.where(
+                        qd == s_syms[g], sc.match, sc.mismatch
+                    ).astype(Score)
+                    new = jnp.maximum(
+                        d2s + sub, jnp.maximum(d1s, d1) + gap
+                    )
+                    if local:
+                        new = jnp.maximum(new, 0)
+
+                    # Outgoing boundary column: value at position W-1
+                    # (cell (t-W+1, j0+W-1)) enters colacc at lane 127
+                    # and rolls left; after each 128 steps lane L holds
+                    # cell(128r + L, .) exactly.
+                    colacc = jnp.where(
+                        row_iota == LANES - 1,
+                        new[R - 1:R, :],
+                        pltpu.roll(colacc, LANES - 1, 1),
+                    )
+                    if k == 14:
+                        # t % 128 == 126 lands here (all chains share
+                        # phase since S % 128 == 0).
+                        r_fl = jax.lax.div(t - W - 126, 128)
+
+                        @pl.when(jnp.logical_and(
+                            jax.lax.rem(t + 2, 128) == 0,
+                            jnp.logical_and(r_fl >= 0, r_fl < nrm),
+                        ))
+                        def _(colacc=colacc, r_fl=r_fl):
+                            colbuf_s[pl.ds(r_fl, 1), :] = colacc
+
+                    # Bottom row H[m-1] collects in place at position
+                    # t-(m-1).
+                    lastrow = jnp.where(
+                        flat_iota == t - (m - 1), new, lastrow
+                    )
+
+                    out_st = [None, d1s, qd, qfeed, colfeed, colacc,
+                              lastrow]
+                    ri = 0
+                    if local:
+                        vmax, vimax = rest[0], rest[1]
+                        ri = 2
+                        valid = jnp.logical_and(
+                            jnp.logical_and(
+                                flat_iota <= t, flat_iota > t - m
+                            ),
+                            j0s[g] + flat_iota < n,
+                        )
+                        better = jnp.logical_and(valid, new > vmax)
+                        vimax = jnp.where(better, t - flat_iota, vimax)
+                        vmax = jnp.where(better, new, vmax)
+                        out_st += [vmax, vimax]
+                    if emit_col:
+                        # Rotating last-column collector (edge window
+                        # only consumes it; updates are unconditional --
+                        # they ride free issue slots off the critical
+                        # chain).
+                        ecol = jnp.where(emask[g], new,
+                                         _rot_l(rest[ri], lane_iota))
+                        if k == 14:
+                            c_fl = jax.lax.div(t + 2 - W, W)
+
+                            @pl.when(jnp.logical_and(
+                                jnp.logical_and(
+                                    jax.lax.rem(t + 2, W) == 0,
+                                    is_edge[g],
+                                ),
+                                jnp.logical_and(
+                                    c_fl >= 0,
+                                    c_fl < ecol_out_ref.shape[0] // R,
+                                ),
+                            ))
+                            def _(ecol=ecol, c_fl=c_fl):
+                                ecol_out_ref[pl.ds(c_fl * R, R), :] = ecol
+                        out_st += [ecol]
+
+                    # Top boundary row injection for D_t: position t+1 =
+                    # topval(j0+t+1) (closed-form broadcast select).
+                    out_st[0] = jnp.where(
+                        flat_iota == t + 1, topval(j0s[g] + t + 1), new
+                    )
+                    out_st[3] = pltpu.roll(qfeed, LANES - 1, 1)
+                    out_st[4] = pltpu.roll(colfeed, LANES - 1, 1)
+                    sts[g] = out_st
+
+            return tuple(tuple(st) for st in sts)
+
+        carry = tuple(fresh_state(g) for g in range(G))
+        carry = jax.lax.fori_loop(
+            0, jax.lax.div(T_total + U - 1, U), block, carry
+        )
+
+        # Drain: per-chain outputs.
+        for g in range(G):
+            st = carry[g]
+            lastrow = st[6]
+            row_out_ref[g * R:(g + 1) * R, :] = lastrow
+            if local:
+                vmax, vimax = st[7], st[8]
+                # Merge this window's best into the running best with
+                # row-major first-occurrence tie-breaking (smallest i,
+                # then smallest j) -- matches the reference's strict->
+                # argmax (utils.impala:38-48).
+                mval = jnp.max(vmax)
+                icand = jnp.where(vmax == mval, vimax, jnp.int32(2**30))
+                imin = jnp.min(icand)
+                jcand = jnp.where(
+                    jnp.logical_and(vmax == mval, vimax == imin),
+                    flat_iota, jnp.int32(2**30),
+                )
+                jmin = jnp.min(jcand)
+                gi = imin
+                gj = j0s[g] + jmin
+                better = jnp.logical_or(
+                    mval > smem_s[0],
+                    jnp.logical_and(
+                        mval == smem_s[0],
+                        jnp.logical_or(
+                            gi < smem_s[1],
+                            jnp.logical_and(
+                                gi == smem_s[1], gj < smem_s[2]
+                            ),
+                        ),
+                    ),
                 )
 
-                sub = jnp.where(
-                    qd == s_syms, sc.match, sc.mismatch
-                ).astype(Score)
-                new = d2s + sub
-                new = jnp.maximum(new, d1s + gap)
-                new = jnp.maximum(new, d1 + gap)
-                if local:
-                    new = jnp.maximum(new, 0)
+                @pl.when(better)
+                def _(mval=mval, gi=gi, gj=gj):
+                    smem_s[0] = mval
+                    smem_s[1] = gi
+                    smem_s[2] = gj
 
-                # Outgoing boundary column: the value at position W-1
-                # (cell (t-W+1, j0+W-1)) enters colacc at position W-1
-                # and shifts left; a complete chunk is in layout order.
-                colacc = jnp.where(last_mask, new,
-                                   _shift_l(colacc, lane_iota))
-
-                # Chunk flush when (t+2) % W == 0, i.e. substep W-2 mod U
-                if k == (W - 2) % U:
-                    @pl.when(jnp.logical_and(
-                        t >= 2 * W - 2, jax.lax.rem(t + 2, W) == 0
-                    ))
-                    def _(colacc=colacc, t=t):
-                        c = jax.lax.div(t + 2, W) - 2
-                        orow = pl.multiple_of(c * R, R)
-                        colbuf_s[pl.ds(orow, R), :] = colacc
-
-                if emit_col:
-                    # Exact last-column emission (edge window only; the
-                    # reduce is off the hot path: 1/num_windows of steps)
-                    @pl.when(is_edge_w)
-                    def _(new=new, t=t):
-                        i_e = t - edge
-                        v_e = _extract(new, flat_iota == edge)
-                        ecol = jnp.where(
-                            flat_iota == jax.lax.rem(i_e, W), v_e,
-                            ecol_s[:, :],
-                        )
-                        ecol_s[:, :] = ecol
-
-                        @pl.when(jnp.logical_and(i_e >= 0, i_e < m))
-                        def _():
-                            erow = pl.multiple_of(
-                                jax.lax.div(i_e, W) * R, R
-                            )
-                            col_out_ref[pl.ds(erow, R), :] = ecol
-
-                # Bottom row H[m-1]: position t-(m-1) per step
-                lastrow = jnp.where(flat_iota == t - (m - 1), new, lastrow)
-
-                if local:
-                    valid = jnp.logical_and(
-                        jnp.logical_and(flat_iota <= t, flat_iota > t - m),
-                        j0 + flat_iota < n,
-                    )
-                    better = jnp.logical_and(valid, new > vmax)
-                    vimax = jnp.where(better, t - flat_iota, vimax)
-                    vmax = jnp.where(better, new, vmax)
-
-                # Top boundary row injection for D_t: position t+1 =
-                # topval(j0+t+1) (closed-form broadcast select).
-                rw = jnp.where(flat_iota == t + 1, topval(j0 + t + 1), new)
-
-                d2s = d1s
-                d1 = rw
-                qfeed = _shift_l(qfeed, lane_iota)
-                colfeed = _shift_l(colfeed, lane_iota)
-
-            qfeed_s[:, :] = qfeed
-            colfeed_s[:, :] = colfeed
-            lastrow_s[:, :] = lastrow
-            colacc_s[:, :] = colacc
-            if local:
-                vmax_s[:, :] = vmax
-                vimax_s[:, :] = vimax
-            return d1, d2s, qd
-
-        carry = (d1, d2s, qd)
-        carry = jax.lax.fori_loop(0, jax.lax.div(T, U), iter8, carry)
-
-        row_out_ref[:, :] = lastrow_s[:, :]
-
-        if local:
-            # Merge this window's best into the running best with row-major
-            # first-occurrence tie-breaking (smallest i, then smallest j).
-            vmax = vmax_s[:, :]
-            vimax = vimax_s[:, :]
-            mval = jnp.max(vmax)
-            icand = jnp.where(vmax == mval, vimax, jnp.int32(2**30))
-            imin = jnp.min(icand)
-            jcand = jnp.where(
-                jnp.logical_and(vmax == mval, vimax == imin),
-                flat_iota,
-                jnp.int32(2**30),
-            )
-            jmin = jnp.min(jcand)
-            gi = imin
-            gj = j0 + jmin
-            better = jnp.logical_or(
-                mval > smem_s[0],
-                jnp.logical_and(
-                    mval == smem_s[0],
-                    jnp.logical_or(
-                        gi < smem_s[1],
-                        jnp.logical_and(gi == smem_s[1], gj < smem_s[2]),
-                    ),
-                ),
-            )
-
-            @pl.when(better)
-            def _():
-                smem_s[0] = mval
-                smem_s[1] = gi
-                smem_s[2] = gj
-
-        @pl.when(w == pl.num_programs(0) - 1)
+        @pl.when(gr == pl.num_programs(0) - 1)
         def _():
             best_out_ref[0] = smem_s[0]
             best_out_ref[1] = smem_s[1]
@@ -302,77 +367,118 @@ def _make_kernel(mode: Mode, sc: LinearScoring, emit_col: bool):
     return kernel
 
 
+def _unrotate_ecol(stage, m_pad_rows, m, n):
+    """Recover the true last column cell(i, n-1), i in [0, m_pad), from
+    the raw rotated ecol flush chunks.
+
+    Chunk c (staging rows [cR, (c+1)R)) is the rotating (R,128) buffer
+    snapshot at edge-window local step t_f = (c+1)*W - 2. A value with
+    row index i was inserted at step te = i + edge (edge = position of
+    column n-1 in its window) and sits at flat position
+    (edge - (t_f - te)) mod W.
+    """
+    edge = jax.lax.rem(n - 1, W)
+    i = jnp.arange(m_pad_rows * LANES, dtype=jnp.int32)
+    te = i + edge
+    c = jnp.maximum(0, -(-(te - W + 2) // W))          # ceil, clamped
+    t_f = (c + 1) * W - 2
+    pos = jax.lax.rem(edge - t_f + te + 4 * W, W)
+    idx = jnp.minimum(c * W + pos, stage.size - 1)
+    return stage.reshape(-1)[idx]
+
+
 def _round_up(x: int, mult: int) -> int:
     return (x + mult - 1) // mult * mult
 
 
-def _bucket(x: int) -> int:
-    """Geometric shape bucket (multiples of W, ratio <= 1.25) to bound the
-    number of compiled variants; the dynamic true length drives the sweep,
-    so m-padding costs only VMEM and n-padding at most 25% extra windows."""
-    x = _round_up(x, W)
-    base = W
+def _bucket(x: int, mult: int) -> int:
+    """Geometric shape bucket (multiples of `mult`, ratio <= 1.25) to
+    bound the number of compiled variants; the dynamic true length
+    drives the sweep, so m-padding costs only VMEM and n-padding at most
+    25% extra windows."""
+    x = _round_up(x, mult)
+    base = mult
     while base * 2 < x:
         base *= 2
     for frac in (4, 5, 6, 7, 8):
         cand = base * frac // 4
         if cand >= x:
-            return _round_up(cand, W)
-    return _round_up(base * 2, W)
+            return _round_up(cand, mult)
+    return _round_up(base * 2, mult)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("mode", "sc", "emit_col", "interpret")
+    jax.jit, static_argnames=("mode", "sc", "emit_col", "interpret", "G")
 )
 def _score_padded(q2, s2, m, n, mode: Mode, sc: LinearScoring,
-                  emit_col: bool = True, interpret: bool = False):
+                  emit_col: bool = True, interpret: bool = False,
+                  G: int = DEFAULT_G):
     M_pad = q2.shape[0] * LANES
     N_pad = s2.shape[0] * LANES
-    num_windows = N_pad // W
+    num_groups = N_pad // (G * W)
     MR = M_pad // LANES
+    # ecol staging: one (R,128) chunk per W steps of the edge sweep.
+    stage_rows = (_round_up(M_pad + 2 * W, W) // W) * R
 
-    kernel = _make_kernel(mode, sc, emit_col)
+    kernel = _make_kernel(mode, sc, emit_col, G)
     dims = jnp.stack([m, n]).astype(jnp.int32)
 
-    row_out, col_out, best = pl.pallas_call(
+    row_out, ecol_stage, best = pl.pallas_call(
         kernel,
-        grid=(num_windows,),
+        grid=(num_groups,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),  # q, whole array
-            pl.BlockSpec((R, LANES), lambda w: (w, 0),
+            pl.BlockSpec((G * R, LANES), lambda gr: (gr, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((R, LANES), lambda w: (w, 0),
+            pl.BlockSpec((G * R, LANES), lambda gr: (gr, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # col_out, whole array
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # ecol staging, whole
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((N_pad // LANES, LANES), Score),
-            jax.ShapeDtypeStruct((MR, LANES), Score),
+            jax.ShapeDtypeStruct((stage_rows, LANES), Score),
             jax.ShapeDtypeStruct((4,), jnp.int32),
         ],
         scratch_shapes=[
             pltpu.VMEM((MR, LANES), Score),     # colbuf
-            pltpu.VMEM((R, LANES), jnp.int32),  # qfeed
-            pltpu.VMEM((R, LANES), Score),      # colfeed
-            pltpu.VMEM((R, LANES), Score),      # lastrow
-            pltpu.VMEM((R, LANES), Score),      # colacc
-            pltpu.VMEM((R, LANES), Score),      # ecol
-            pltpu.VMEM((R, LANES), Score),      # vmax
-            pltpu.VMEM((R, LANES), jnp.int32),  # vimax
             pltpu.SMEM((8,), jnp.int32),        # running best
         ],
         interpret=interpret,
     )(dims, q2, s2)
 
+    if emit_col:
+        last_col = _unrotate_ecol(ecol_stage, MR, m, n)
+    else:
+        last_col = jnp.zeros((MR * LANES,), Score)
+
     return {
         "last_row": row_out.reshape(-1),
-        "last_col": col_out.reshape(-1),
+        "last_col": last_col,
         "best": best[:3],
     }
+
+
+def _pick_g(m: int, n: int, emit_col: bool) -> int:
+    """Choose the number of staggered chains: minimize estimated wall
+    time = groups * (T + (G-1)*S) * t_step(G), with t_step(G) ~ 95+5G ns
+    (fitted on TPU v5e). More chains amortize dependency-chain latency;
+    fewer chains cut stagger warmup and window padding."""
+    nw = _bucket(n, W) // W
+    nrm = -(-m // 128)
+    T = 128 * nrm + W + (W if emit_col else 0)
+    best_g, best_cost = 1, float("inf")
+    for g in (1, 2, 4, 5, 8, 10):
+        if g > nw:
+            break
+        groups = -(-nw // g)
+        cost = groups * (T + (g - 1) * STAGGER) * (95 + 5 * g)
+        if cost < best_cost:
+            best_g, best_cost = g, cost
+    return best_g
 
 
 def available() -> bool:
@@ -388,14 +494,15 @@ def supports(m: int) -> bool:
 
 def score_pair(qp, sp, m, n, mode: Mode, sc: LinearScoring,
                H: int | None = None, interpret: bool = False,
-               emit_col: bool | None = None):
+               emit_col: bool | None = None, G: int | None = None):
     """Score-only linear-memory DP via the Pallas wavefront kernel.
 
     qp, sp: int32 arrays (host padding is fine; kernel repads internally).
     Returns the same output dict as xla_linmem.score_rows. When
-    ``emit_col`` is False, ``last_col`` contains garbage (local mode does
-    not need it). ``H`` is accepted for API compatibility and ignored
-    (the sweep is continuous; there are no bands).
+    ``emit_col`` is False, ``last_col`` is zeros (local mode does not
+    need it). ``H`` is accepted for API compatibility and ignored (the
+    sweep is continuous; there are no bands). ``G`` overrides the number
+    of concurrently staggered windows.
     """
     mode = Mode.parse(mode)
     m_i = int(m)
@@ -407,8 +514,10 @@ def score_pair(qp, sp, m, n, mode: Mode, sc: LinearScoring,
         )
     if emit_col is None:
         emit_col = mode is not Mode.LOCAL
-    M_pad = _bucket(m_i)
-    N_pad = _bucket(n_i)
+    if G is None:
+        G = _pick_g(m_i, n_i, emit_col)
+    M_pad = _bucket(m_i, W)
+    N_pad = _round_up(_bucket(n_i, W), G * W)
 
     def _fit(arr, size, fill):
         out = jnp.full((size,), fill, jnp.int32)
@@ -419,4 +528,4 @@ def score_pair(qp, sp, m, n, mode: Mode, sc: LinearScoring,
     s2 = _fit(sp, N_pad, 255)
 
     return _score_padded(q2, s2, jnp.int32(m_i), jnp.int32(n_i),
-                         mode, sc, emit_col, interpret)
+                         mode, sc, emit_col, interpret, G)

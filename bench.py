@@ -2,8 +2,15 @@
 
 Headline: GCUPS (giga cell-updates per second) on a 10k x 10k local
 (Smith-Waterman) score-only alignment -- the reference's core workload
-class (benchmark.sh / main.cpp score calls). Uses the Pallas band kernel
-on TPU, falling back to the portable XLA engine elsewhere.
+class (benchmark.sh / main.cpp score calls). Uses the Pallas staggered
+wavefront kernel on TPU, falling back to the portable XLA engine
+elsewhere.
+
+Timing is slope-based: K back-to-back dispatches with a single host
+fetch at the end, minus the 1-dispatch time, divided by K-1. This
+removes the host<->device round-trip constant (which on tunneled TPU
+setups can exceed the kernel time itself) and defeats the non-blocking
+``block_until_ready`` of such setups.
 
 The reference publishes no numbers (BASELINE.md); ``vs_baseline``
 normalizes against a 2.0 GCUPS proxy for the reference's 4-thread CPU
@@ -19,11 +26,10 @@ import numpy as np
 REFERENCE_PROXY_GCUPS = 2.0
 MN = int(os.environ.get("BENCH_LEN", 10000))
 REPS = int(os.environ.get("BENCH_REPS", 3))
+K = int(os.environ.get("BENCH_K", 8))
 
 
 def main():
-    import jax
-
     from anyseq_tpu.core.types import LinearScoring, Mode
     from anyseq_tpu.engine import api, xla_linmem
 
@@ -34,40 +40,52 @@ def main():
     s = bytes(alpha[rng.integers(0, 4, MN)])
     _, _, m, n, qp, sp = api._prep(q, s)
 
-    def run_pallas():
+    def mk_pallas():
         from anyseq_tpu.kernels import band
 
-        outs = band.score_pair(qp, sp, m, n, Mode.LOCAL, sc)
-        jax.block_until_ready(outs["best"])
-        return outs
+        def fn():
+            return band.score_pair(qp, sp, m, n, Mode.LOCAL, sc)["best"]
 
-    def run_xla():
-        outs = xla_linmem.score_rows(qp, sp, m, n, Mode.LOCAL, sc)
-        jax.block_until_ready(outs["best"])
-        return outs
+        return fn
+
+    def mk_xla():
+        def fn():
+            return xla_linmem.score_rows(qp, sp, m, n, Mode.LOCAL, sc)[
+                "best"]
+
+        return fn
 
     impl = None
+    import jax
+
     on_tpu = jax.devices()[0].platform != "cpu"
     if on_tpu:
         try:
-            run_pallas()  # compile + smoke
-            impl = run_pallas
-            engine = "pallas-band"
+            impl = mk_pallas()
+            np.asarray(impl())  # compile + smoke (fetch forces sync)
+            engine = "pallas-wavefront"
         except Exception as e:  # pragma: no cover
             print(f"# pallas kernel unavailable ({e}); falling back",
                   file=sys.stderr)
+            impl = None
     if impl is None:
-        run_xla()
-        impl = run_xla
+        impl = mk_xla()
+        np.asarray(impl())
         engine = "xla-linmem"
 
-    best = float("inf")
-    for _ in range(REPS):
+    def run(k):
         t0 = time.perf_counter()
-        impl()
-        best = min(best, time.perf_counter() - t0)
+        r = None
+        for _ in range(k):
+            r = impl()
+        np.asarray(r)
+        return time.perf_counter() - t0
 
-    gcups = m * n / best / 1e9
+    t1 = min(run(1) for _ in range(REPS))
+    tk = min(run(K) for _ in range(REPS))
+    dt = max((tk - t1) / (K - 1), 1e-9)
+
+    gcups = m * n / dt / 1e9
     print(json.dumps({
         "metric": f"local SW score GCUPS ({MN}x{MN}, {engine})",
         "value": round(gcups, 3),
