@@ -163,6 +163,111 @@ def _score_batch_semiglobal(q, s, ms, ns, mode: Mode, sc: LinearScoring):
     return jnp.maximum(jnp.maximum(row_max, col_max), 0)
 
 
+@functools.partial(jax.jit, static_argnames=("sc",))
+def last_cols_batch(q, s, ms, ns, sc: LinearScoring):
+    """Global-DP boundary columns for a batch of pairs, in one sweep.
+
+    q: (B, M) int32, s: (B, N) int32, ms/ns: (B,) lengths.
+    Returns (M, B) int32: entry [i, b] = H_b[i][ns_b - 1] (garbage for
+    i >= ms_b). This is the one device call per Hirschberg level: every
+    forward left half and reversed right half of the level is a row of
+    the batch (reference runs them as one partitioned wavefront,
+    iteration_cpu.impala:59-119)."""
+    B, M = q.shape
+    N = s.shape[1]
+    g = sc.gap
+    jg = jnp.arange(N, dtype=Score) * g
+
+    row0 = ((jnp.arange(N, dtype=Score) + 1) * g)[None, :].repeat(B, 0)
+
+    def body(i, carry):
+        prev, cols = carry
+        active = i < ms
+        diag = jnp.concatenate(
+            [jnp.full((B, 1), i * g, Score), prev[:, :-1]], axis=1
+        )
+        qi = jnp.take_along_axis(
+            q, jnp.minimum(i, ms - 1)[:, None].astype(jnp.int32), axis=1
+        )
+        sub = jnp.where(qi == s, sc.match, sc.mismatch).astype(Score)
+        cand = jnp.maximum(diag + sub, prev + g)
+        run = jnp.maximum(
+            jax.lax.cummax(cand - jg[None, :], axis=1),
+            jnp.full((B, 1), (i + 2) * g, Score),  # col_i + g
+        )
+        row = run + jg[None, :]
+        row = jnp.where(active[:, None], row, prev)
+        lc = jnp.take_along_axis(row, (ns - 1)[:, None], axis=1)[:, 0]
+        cols = jax.lax.dynamic_update_slice(cols, lc[None, :], (i, 0))
+        return row, cols
+
+    _, cols = jax.lax.fori_loop(
+        0, jnp.max(ms), body, (row0, jnp.zeros((M, B), Score))
+    )
+    return cols
+
+
+@functools.partial(jax.jit, static_argnames=("sc",))
+def preds_batch(q, s, ms, ns, sc: LinearScoring):
+    """Global-DP predecessor matrices for a batch of pairs, one sweep.
+
+    Returns ((B, M, N) uint8 preds, (M, B) int32 last columns). Used for
+    the terminal stripes of the level-synchronous Hirschberg (reference
+    predecessors_blockwise + iteration_blockwise, predecessors.impala:
+    36-46, iteration_cpu.impala:121-157). Predecessor priority is
+    diag > gap_q > gap_s (align.impala:49-64)."""
+    from anyseq_tpu.core.types import (
+        PRED_GAP_Q, PRED_GAP_S, PRED_NO_GAP, PRED_NONE,
+    )
+
+    B, M = q.shape
+    N = s.shape[1]
+    g = sc.gap
+    jg = jnp.arange(N, dtype=Score) * g
+
+    row0 = ((jnp.arange(N, dtype=Score) + 1) * g)[None, :].repeat(B, 0)
+
+    def body(i, carry):
+        prev, preds, cols = carry
+        active = i < ms
+        col_i = jnp.full((B, 1), (i + 1) * g, Score)
+        diag = jnp.concatenate(
+            [jnp.full((B, 1), i * g, Score), prev[:, :-1]], axis=1
+        )
+        qi = jnp.take_along_axis(
+            q, jnp.minimum(i, ms - 1)[:, None].astype(jnp.int32), axis=1
+        )
+        sub = jnp.where(qi == s, sc.match, sc.mismatch).astype(Score)
+        cand = jnp.maximum(diag + sub, prev + g)
+        run = jnp.maximum(
+            jax.lax.cummax(cand - jg[None, :], axis=1), col_i + g
+        )
+        row = run + jg[None, :]
+        left = jnp.concatenate([col_i, row[:, :-1]], axis=1)
+        pred = jnp.where(
+            row == diag + sub,
+            PRED_NO_GAP,
+            jnp.where(
+                row == left + g,
+                PRED_GAP_Q,
+                jnp.where(row == prev + g, PRED_GAP_S, PRED_NONE),
+            ),
+        ).astype(jnp.uint8)
+        row = jnp.where(active[:, None], row, prev)
+        preds = jax.lax.dynamic_update_slice(
+            preds, pred[:, None, :], (0, i, 0)
+        )
+        lc = jnp.take_along_axis(row, (ns - 1)[:, None], axis=1)[:, 0]
+        cols = jax.lax.dynamic_update_slice(cols, lc[None, :], (i, 0))
+        return row, preds, cols
+
+    _, preds, cols = jax.lax.fori_loop(
+        0, jnp.max(ms), body,
+        (row0, jnp.zeros((B, M, N), jnp.uint8), jnp.zeros((M, B), Score)),
+    )
+    return preds, cols
+
+
 def align_scores_batch(queries, subjects, mode="global",
                        scoring=LinearScoring(), batch_size: int = 512):
     """Score many pairs. queries/subjects: sequences of str/bytes/uint8.

@@ -28,6 +28,7 @@ stripes -- the reference's ragged blockwise predecessor matrix
 """
 from __future__ import annotations
 
+import jax.numpy as jnp
 import numpy as np
 
 from anyseq_tpu.core.types import (
@@ -66,13 +67,6 @@ def _score_outputs(q8, s8, mode, scoring, engine, emit_col=True):
     return {k: np.asarray(v) for k, v in outs.items()}
 
 
-def _last_col_global(q8, s8, scoring, engine):
-    """H[i][n-1] for i in [0, m) of the global DP (the Hirschberg L or R
-    boundary column, reference Scoring.get_left/right_half_scores)."""
-    outs = _score_outputs(q8, s8, Mode.GLOBAL, scoring, engine)
-    return outs["last_col"][: len(q8)].astype(np.int64)
-
-
 def _write_all_gap_subject(s8, off_i, off_j, out_q, out_s):
     """Emit subject symbols against query gaps (empty query side).
 
@@ -91,70 +85,145 @@ def _write_all_gap_query(q8, off_i, off_j, out_q, out_s):
         out_s[pos] = ord("_")
 
 
-def _full_stripe(q8, s8, off_i, off_j, out_q, out_s, scoring, engine):
-    """Terminal stripe: full predecessor DP + host traceback, writing at
-    global offsets (reference traceback_lintime_trace, align.impala:292-311
-    + get_traceback_acc, mapping_cpu.impala:67-84)."""
-    from anyseq_tpu.engine import api, xla_linmem
-
-    m, n = len(q8), len(s8)
-    if m == 0 and n == 0:
-        return
-    if m == 0:
-        _write_all_gap_subject(s8, off_i, off_j, out_q, out_s)
-        return
-    if n == 0:
-        _write_all_gap_query(q8, off_i, off_j, out_q, out_s)
-        return
-    _, _, _, _, qp, sp = api._prep(q8, s8)
-    outs = xla_linmem.score_rows_with_preds(
-        qp, sp, m, n, Mode.GLOBAL, scoring
-    )
-    P = api._haloed_preds(np.asarray(outs["preds"]), m, n, Mode.GLOBAL)
-    tb.walk_linear(q8, s8, P, (m - 1, n - 1), out_q, out_s, off_i, off_j)
+def _merge_halves(L, Rv, h, mid_w, right_w, g):
+    """hb_sum: F(k) = L[k] + R[h-k-2], k in [-1, h-1]; edges use the
+    all-gap init scores (reference hb_sum edge handling,
+    traceback_lintime.impala:69-83). Returns (k, score); ties -> smallest
+    k."""
+    F = np.empty(h + 1, dtype=np.int64)
+    F[0] = mid_w * g + Rv[h - 1]        # k = -1: left half all gaps
+    F[1:h] = L[: h - 1] + Rv[: h - 1][::-1]
+    F[h] = L[h - 1] + right_w * g       # k = h-1: right half all gaps
+    k = int(np.argmax(F)) - 1
+    return k, int(F[k + 1])
 
 
 def _hb_global(q8, s8, off_i, off_j, out_q, out_s, scoring, engine,
                min_width=MIN_WIDTH):
-    """Global Hirschberg recursion; returns the global score of this part."""
-    m, n = len(q8), len(s8)
-    if n <= min_width or m <= 1:
-        from anyseq_tpu.engine import api, xla_linmem
+    """Level-synchronous global Hirschberg; returns the global score.
 
-        if m == 0:
-            _write_all_gap_subject(s8, off_i, off_j, out_q, out_s)
-            return scoring.gap * n
-        if n == 0:
-            _write_all_gap_query(q8, off_i, off_j, out_q, out_s)
-            return scoring.gap * m
+    All forward-left and reversed-right halves of one level run as ONE
+    batched device sweep (the reference's iteration_partitioned wavefront
+    over all halves of all parts, iteration_cpu.impala:59-119), and all
+    terminal predecessor stripes run as a handful of batched sweeps (the
+    reference's iteration_blockwise, iteration_cpu.impala:121-157). Host
+    work per level is the tiny argmax merge. This keeps the number of
+    device round-trips at O(log n) instead of O(n / min_width).
+    """
+    from anyseq_tpu.engine import api, batch, xla_linmem
+
+    m, n = len(q8), len(s8)
+    g = scoring.gap
+    if m == 0:
+        _write_all_gap_subject(s8, off_i, off_j, out_q, out_s)
+        return g * n
+    if n == 0:
+        _write_all_gap_query(q8, off_i, off_j, out_q, out_s)
+        return g * m
+
+    q32 = q8.astype(np.int32)
+    s32 = s8.astype(np.int32)
+
+    if n <= min_width or n < 2 or m <= 1:
+        # Single terminal stripe: one pred pass, exact score.
         _, _, _, _, qp, sp = api._prep(q8, s8)
         outs = xla_linmem.score_rows_with_preds(
             qp, sp, m, n, Mode.GLOBAL, scoring
         )
         P = api._haloed_preds(np.asarray(outs["preds"]), m, n, Mode.GLOBAL)
-        tb.walk_linear(q8, s8, P, (m - 1, n - 1), out_q, out_s, off_i, off_j)
+        tb.walk_linear(q8, s8, P, (m - 1, n - 1), out_q, out_s,
+                       off_i, off_j)
         return int(np.asarray(outs["last_col"])[m - 1])
 
-    mid = n // 2
-    g = scoring.gap
-    # Forward left half and reversed right half boundary columns
-    L = _last_col_global(q8, s8[:mid], scoring, engine)
-    Rv = _last_col_global(q8[::-1], s8[mid:][::-1], scoring, engine)
+    root_score = None
+    active = [(0, m, 0, n)]            # (qlo, qhi, slo, shi)
+    terminals = []
 
-    # F(k) = L[k] + R[m-k-2], k in [-1, m-1]; edges use the all-gap init
-    # scores (reference hb_sum edge handling, traceback_lintime.impala:69-83)
-    F = np.empty(m + 1, dtype=np.int64)
-    F[0] = mid * g + Rv[m - 1]          # k = -1: left half all gaps
-    F[1:m] = L[: m - 1] + Rv[: m - 1][::-1]
-    F[m] = L[m - 1] + (n - mid) * g     # k = m-1: right half all gaps
-    k = int(np.argmax(F)) - 1           # ties -> smallest k
-    score = int(F[k + 1])
+    def classify(part):
+        qlo, qhi, slo, shi = part
+        h, w = qhi - qlo, shi - slo
+        if h == 0:
+            _write_all_gap_subject(s8[slo:shi], off_i + qlo, off_j + slo,
+                                   out_q, out_s)
+        elif w <= min_width or w < 2 or h <= 1:
+            terminals.append(part)
+        else:
+            active.append(part)
 
-    _hb_global(q8[: k + 1], s8[:mid], off_i, off_j, out_q, out_s,
-               scoring, engine, min_width)
-    _hb_global(q8[k + 1:], s8[mid:], off_i + k + 1, off_j + mid,
-               out_q, out_s, scoring, engine, min_width)
-    return score
+    while active:
+        parts = active
+        active = []
+        P = len(parts)
+        hs = [p[1] - p[0] for p in parts]
+        mids = [(p[3] - p[2]) // 2 for p in parts]
+        Mb = batch._bucket(max(hs))
+        Nb = batch._bucket(max(max(mids), max(
+            (p[3] - p[2]) - mi for p, mi in zip(parts, mids)
+        )), 128)
+        B = 2 * P
+        qarr = np.full((B, Mb), batch._PAD_Q, np.int32)
+        sarr = np.full((B, Nb), batch._PAD_S, np.int32)
+        ms = np.empty(B, np.int32)
+        ns = np.empty(B, np.int32)
+        for p, (qlo, qhi, slo, shi) in enumerate(parts):
+            h, mid = hs[p], mids[p]
+            qarr[2 * p, :h] = q32[qlo:qhi]
+            qarr[2 * p + 1, :h] = q32[qlo:qhi][::-1]
+            sarr[2 * p, :mid] = s32[slo:slo + mid]
+            sarr[2 * p + 1, : shi - slo - mid] = s32[slo + mid:shi][::-1]
+            ms[2 * p] = ms[2 * p + 1] = h
+            ns[2 * p] = mid
+            ns[2 * p + 1] = shi - slo - mid
+        cols = np.asarray(batch.last_cols_batch(
+            jnp.asarray(qarr), jnp.asarray(sarr),
+            jnp.asarray(ms), jnp.asarray(ns), scoring,
+        ))
+        for p, (qlo, qhi, slo, shi) in enumerate(parts):
+            h, mid = hs[p], mids[p]
+            L = cols[:h, 2 * p].astype(np.int64)
+            Rv = cols[:h, 2 * p + 1].astype(np.int64)
+            k, score = _merge_halves(L, Rv, h, mid, shi - slo - mid, g)
+            if root_score is None:
+                root_score = score
+            classify((qlo, qlo + k + 1, slo, slo + mid))
+            classify((qlo + k + 1, qhi, slo + mid, shi))
+
+    # Terminal stripes, batched by shape bucket.
+    groups: dict[tuple[int, int], list] = {}
+    for t in terminals:
+        h, w = t[1] - t[0], t[3] - t[2]
+        groups.setdefault(
+            (batch._bucket(h), batch._bucket(w, 128)), []
+        ).append(t)
+    for (Hb, Wb), ts in groups.items():
+        for lo in range(0, len(ts), 512):
+            chunk = ts[lo: lo + 512]
+            B = len(chunk)
+            qarr = np.full((B, Hb), batch._PAD_Q, np.int32)
+            sarr = np.full((B, Wb), batch._PAD_S, np.int32)
+            ms = np.empty(B, np.int32)
+            ns = np.empty(B, np.int32)
+            for b, (qlo, qhi, slo, shi) in enumerate(chunk):
+                h, w = qhi - qlo, shi - slo
+                qarr[b, :h] = q32[qlo:qhi]
+                sarr[b, :w] = s32[slo:shi]
+                ms[b] = h
+                ns[b] = w
+            preds, _ = batch.preds_batch(
+                jnp.asarray(qarr), jnp.asarray(sarr),
+                jnp.asarray(ms), jnp.asarray(ns), scoring,
+            )
+            preds = np.asarray(preds)
+            for b, (qlo, qhi, slo, shi) in enumerate(chunk):
+                h, w = qhi - qlo, shi - slo
+                Pm = api._haloed_preds(
+                    preds[b, :h, :w], h, w, Mode.GLOBAL
+                )
+                tb.walk_linear(
+                    q8[qlo:qhi], s8[slo:shi], Pm, (h - 1, w - 1),
+                    out_q, out_s, off_i + qlo, off_j + slo,
+                )
+    return root_score
 
 
 def _find_end(q8, s8, mode, scoring, engine):
