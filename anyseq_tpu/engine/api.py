@@ -53,15 +53,15 @@ def _prep(query, subject):
 
 
 def _run_score(qp, sp, m, n, mode, scoring, engine):
-    if isinstance(scoring, AffineScoring):
-        from anyseq_tpu.engine import xla_affine
-
-        return xla_affine.score_rows_affine(qp, sp, m, n, mode, scoring)
     if engine in ("auto", "pallas"):
         from anyseq_tpu.kernels import band as band_kernel
 
         if band_kernel.available() or engine == "pallas":
             return band_kernel.score_pair(qp, sp, m, n, mode, scoring)
+    if isinstance(scoring, AffineScoring):
+        from anyseq_tpu.engine import xla_affine
+
+        return xla_affine.score_rows_affine(qp, sp, m, n, mode, scoring)
     return xla_linmem.score_rows(qp, sp, m, n, mode, scoring)
 
 

@@ -239,6 +239,11 @@ def _find_end(q8, s8, mode, scoring, engine):
 def align_hirschberg(query, subject, mode, scoring=LinearScoring(),
                      engine="auto", min_width=MIN_WIDTH) -> Alignment:
     mode = Mode.parse(mode)
+    if not isinstance(scoring, LinearScoring):
+        raise ValueError(
+            "align_hirschberg supports linear gap scoring; use "
+            "align(..., traceback='full') for affine (Gotoh) alignments"
+        )
     q8 = as_u8(query)
     s8 = as_u8(subject)
     m, n = len(q8), len(s8)

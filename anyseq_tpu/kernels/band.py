@@ -72,7 +72,16 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from anyseq_tpu.core.types import SCORE_MIN, LinearScoring, Mode, Score
+from anyseq_tpu.core.types import (
+    SCORE_MIN,
+    AffineScoring,
+    LinearScoring,
+    Mode,
+    Score,
+)
+
+# Safe -inf within int32 under repeated +gap (matches engine/xla_affine).
+NEG = -(2**29)
 
 # Window geometry: R sublanes x 128 lanes = W subject positions.
 R = 8
@@ -114,21 +123,40 @@ def _rot_l(x, lane_iota):
     return jnp.where(lane_iota == LANES - 1, b, a)
 
 
-def _make_kernel(mode: Mode, sc: LinearScoring, emit_col: bool, G: int):
+def _make_kernel(mode: Mode, sc, emit_col: bool, G: int):
     local = mode is Mode.LOCAL
     is_global = mode is Mode.GLOBAL
-    gap = sc.gap
+    affine = isinstance(sc, AffineScoring)
     S = STAGGER
+    if affine:
+        go, ge = sc.gap_open, sc.gap_extend
+    else:
+        gap = sc.gap
 
     def topval(j):
         """Boundary row cell(-1, j) (j may be negative: the corner
-        chain), closed form (align.impala:85-90)."""
-        if is_global:
-            return (j + 1) * gap
-        return j * 0
+        chain), closed form (align.impala:85-90; affine: Gotoh init as
+        in engine/xla_affine._col_bound)."""
+        if not is_global:
+            return j * 0
+        if affine:
+            return jnp.where(j < 0, 0, go + (j + 1) * ge)
+        return (j + 1) * gap
+
+    def colbound(t):
+        """Left boundary H[t][-1] of the very first window."""
+        if not is_global:
+            return 0
+        if affine:
+            return go + (t + 1) * ge
+        return (t + 1) * gap
 
     def kernel(dims_ref, q_ref, s_ref, row_out_ref, ecol_out_ref,
-               best_out_ref, colbuf_s, smem_s):
+               best_out_ref, *scratch):
+        if affine:
+            colbuf_s, colbuf_e_s, smem_s = scratch
+        else:
+            colbuf_s, smem_s = scratch
         gr = pl.program_id(0)
         m = dims_ref[0]
         n = dims_ref[1]
@@ -164,19 +192,28 @@ def _make_kernel(mode: Mode, sc: LinearScoring, emit_col: bool, G: int):
         emask = [flat_iota == edges[g] for g in range(G)]
 
         def fresh_state(g):
-            d1 = jnp.where(flat_iota == 0, topval(j0s[g]), 0).astype(Score)
-            d2s = jnp.where(
-                flat_iota == 0, topval(j0s[g] - 1), 0
-            ).astype(Score)
-            st = [d1, d2s, jnp.zeros((R, LANES), jnp.int32),  # qd
-                  zrow, zrow, zrow,                 # qfeed, colfeed, colacc
-                  zero8]                            # lastrow
+            st = {
+                "d1": jnp.where(
+                    flat_iota == 0, topval(j0s[g]), 0
+                ).astype(Score),
+                "d2s": jnp.where(
+                    flat_iota == 0, topval(j0s[g] - 1), 0
+                ).astype(Score),
+                "qd": jnp.zeros((R, LANES), jnp.int32),
+                "qfeed": zrow, "colfeed": zrow, "colacc": zrow,
+                "lastrow": zero8,
+            }
             if local:
-                st += [jnp.full((R, LANES), SCORE_MIN, Score),
-                       jnp.zeros((R, LANES), jnp.int32)]
+                st["vmax"] = jnp.full((R, LANES), SCORE_MIN, Score)
+                st["vimax"] = jnp.zeros((R, LANES), jnp.int32)
             if emit_col:
-                st += [zero8]
-            return tuple(st)
+                st["ecol"] = zero8
+            if affine:
+                st["e"] = jnp.full((R, LANES), NEG, Score)
+                st["f"] = jnp.full((R, LANES), NEG, Score)
+                st["colfeed_e"] = zrow
+                st["colacc_e"] = zrow
+            return st
 
         def block(b, carry):
             tau0 = b * U
@@ -188,26 +225,34 @@ def _make_kernel(mode: Mode, sc: LinearScoring, emit_col: bool, G: int):
             # fills the VPU pipeline that a single chain leaves stalled.
             for g in range(G):
                 t0 = t0s[g]
-                st = list(carry[g])
+                fs = fresh_state(g)
                 # Chain (re)birth: local step 0 resets the rolling state.
-                st = [jnp.where(t0 == 0, f, c)
-                      for f, c in zip(fresh_state(g), st)]
+                st = {key: jnp.where(t0 == 0, fs[key], v)
+                      for key, v in carry[g].items()}
                 # Chunk reloads every 128 steps (row = t/128, clamped;
                 # values are only consumed while 0 <= t < m).
                 t0c = jnp.maximum(t0, 0)
                 fresh = jax.lax.rem(t0c, 128) == 0
                 crow = jnp.minimum(jax.lax.div(t0c, 128), mr_rows - 1)
-                st[3] = jnp.where(fresh, q_ref[pl.ds(crow, 1), :], st[3])
-                st[4] = jnp.where(
-                    fresh, colbuf_s[pl.ds(crow, 1), :], st[4]
+                st["qfeed"] = jnp.where(
+                    fresh, q_ref[pl.ds(crow, 1), :], st["qfeed"]
                 )
+                st["colfeed"] = jnp.where(
+                    fresh, colbuf_s[pl.ds(crow, 1), :], st["colfeed"]
+                )
+                if affine:
+                    st["colfeed_e"] = jnp.where(
+                        fresh, colbuf_e_s[pl.ds(crow, 1), :],
+                        st["colfeed_e"],
+                    )
                 sts.append(st)
 
             for k in range(U):
                 for g in range(G):
                     t = t0s[g] + k
-                    (d1, d2s, qd, qfeed, colfeed, colacc, lastrow,
-                     *rest) = sts[g]
+                    st = sts[g]
+                    d1, d2s, qd = st["d1"], st["d2s"], st["qd"]
+                    qfeed, colfeed = st["qfeed"], st["colfeed"]
 
                     # Query symbol entering the diagonal at position 0:
                     # q[t] == qfeed lane 0 (purely positional select).
@@ -219,8 +264,7 @@ def _make_kernel(mode: Mode, sc: LinearScoring, emit_col: bool, G: int):
                     # (scoring.impala:224).
                     d1s = _shift_r(d1, lane_iota)
                     if g == 0:
-                        lcb0 = (t + 1) * gap if is_global else 0
-                        lcb = jnp.where(gr == 0, lcb0, colfeed)
+                        lcb = jnp.where(gr == 0, colbound(t), colfeed)
                     else:
                         lcb = colfeed
                     d1s = jnp.where(flat_iota == 0, lcb, d1s)
@@ -228,11 +272,41 @@ def _make_kernel(mode: Mode, sc: LinearScoring, emit_col: bool, G: int):
                     sub = jnp.where(
                         qd == s_syms[g], sc.match, sc.mismatch
                     ).astype(Score)
-                    new = jnp.maximum(
-                        d2s + sub, jnp.maximum(d1s, d1) + gap
-                    )
-                    if local:
-                        new = jnp.maximum(new, 0)
+
+                    if affine:
+                        # Gotoh: F from "up" (same position, prev step),
+                        # E from "left" (shifted, prev step) with its own
+                        # boundary-column stream.
+                        f_new = jnp.maximum(
+                            d1 + (go + ge), st["f"] + ge
+                        )
+                        e_s = _shift_r(st["e"], lane_iota)
+                        if g == 0:
+                            eb = jnp.where(gr == 0, NEG, st["colfeed_e"])
+                        else:
+                            eb = st["colfeed_e"]
+                        e_s = jnp.where(flat_iota == 0, eb, e_s)
+                        e_new = jnp.maximum(d1s + (go + ge), e_s + ge)
+                        T_ = jnp.maximum(d2s + sub, f_new)
+                        if local:
+                            T_ = jnp.maximum(T_, 0)
+                        new = jnp.maximum(T_, e_new)
+                        # F[-1][.] = -inf at the advancing front.
+                        st["f"] = jnp.where(
+                            flat_iota == t + 1, NEG, f_new
+                        )
+                        st["e"] = e_new
+                        st["colacc_e"] = jnp.where(
+                            row_iota == LANES - 1,
+                            e_new[R - 1:R, :],
+                            pltpu.roll(st["colacc_e"], LANES - 1, 1),
+                        )
+                    else:
+                        new = jnp.maximum(
+                            d2s + sub, jnp.maximum(d1s, d1) + gap
+                        )
+                        if local:
+                            new = jnp.maximum(new, 0)
 
                     # Outgoing boundary column: value at position W-1
                     # (cell (t-W+1, j0+W-1)) enters colacc at lane 127
@@ -241,49 +315,55 @@ def _make_kernel(mode: Mode, sc: LinearScoring, emit_col: bool, G: int):
                     colacc = jnp.where(
                         row_iota == LANES - 1,
                         new[R - 1:R, :],
-                        pltpu.roll(colacc, LANES - 1, 1),
+                        pltpu.roll(st["colacc"], LANES - 1, 1),
                     )
+                    st["colacc"] = colacc
                     if k == 14:
                         # t % 128 == 126 lands here (all chains share
                         # phase since S % 128 == 0).
                         r_fl = jax.lax.div(t - W - 126, 128)
-
-                        @pl.when(jnp.logical_and(
+                        flush_ok = jnp.logical_and(
                             jax.lax.rem(t + 2, 128) == 0,
                             jnp.logical_and(r_fl >= 0, r_fl < nrm),
-                        ))
+                        )
+
+                        @pl.when(flush_ok)
                         def _(colacc=colacc, r_fl=r_fl):
                             colbuf_s[pl.ds(r_fl, 1), :] = colacc
 
+                        if affine:
+                            @pl.when(flush_ok)
+                            def _(ca=st["colacc_e"], r_fl=r_fl):
+                                colbuf_e_s[pl.ds(r_fl, 1), :] = ca
+
                     # Bottom row H[m-1] collects in place at position
                     # t-(m-1).
-                    lastrow = jnp.where(
-                        flat_iota == t - (m - 1), new, lastrow
+                    st["lastrow"] = jnp.where(
+                        flat_iota == t - (m - 1), new, st["lastrow"]
                     )
 
-                    out_st = [None, d1s, qd, qfeed, colfeed, colacc,
-                              lastrow]
-                    ri = 0
                     if local:
-                        vmax, vimax = rest[0], rest[1]
-                        ri = 2
                         valid = jnp.logical_and(
                             jnp.logical_and(
                                 flat_iota <= t, flat_iota > t - m
                             ),
                             j0s[g] + flat_iota < n,
                         )
-                        better = jnp.logical_and(valid, new > vmax)
-                        vimax = jnp.where(better, t - flat_iota, vimax)
-                        vmax = jnp.where(better, new, vmax)
-                        out_st += [vmax, vimax]
+                        better = jnp.logical_and(
+                            valid, new > st["vmax"]
+                        )
+                        st["vimax"] = jnp.where(
+                            better, t - flat_iota, st["vimax"]
+                        )
+                        st["vmax"] = jnp.where(better, new, st["vmax"])
                     if emit_col:
                         # Rotating last-column collector (edge window
                         # only consumes it; updates are unconditional --
                         # they ride free issue slots off the critical
                         # chain).
                         ecol = jnp.where(emask[g], new,
-                                         _rot_l(rest[ri], lane_iota))
+                                         _rot_l(st["ecol"], lane_iota))
+                        st["ecol"] = ecol
                         if k == 14:
                             c_fl = jax.lax.div(t + 2 - W, W)
 
@@ -299,18 +379,22 @@ def _make_kernel(mode: Mode, sc: LinearScoring, emit_col: bool, G: int):
                             ))
                             def _(ecol=ecol, c_fl=c_fl):
                                 ecol_out_ref[pl.ds(c_fl * R, R), :] = ecol
-                        out_st += [ecol]
 
                     # Top boundary row injection for D_t: position t+1 =
                     # topval(j0+t+1) (closed-form broadcast select).
-                    out_st[0] = jnp.where(
+                    st["d1"] = jnp.where(
                         flat_iota == t + 1, topval(j0s[g] + t + 1), new
                     )
-                    out_st[3] = pltpu.roll(qfeed, LANES - 1, 1)
-                    out_st[4] = pltpu.roll(colfeed, LANES - 1, 1)
-                    sts[g] = out_st
+                    st["d2s"] = d1s
+                    st["qd"] = qd
+                    st["qfeed"] = pltpu.roll(qfeed, LANES - 1, 1)
+                    st["colfeed"] = pltpu.roll(colfeed, LANES - 1, 1)
+                    if affine:
+                        st["colfeed_e"] = pltpu.roll(
+                            st["colfeed_e"], LANES - 1, 1
+                        )
 
-            return tuple(tuple(st) for st in sts)
+            return tuple(sts)
 
         carry = tuple(fresh_state(g) for g in range(G))
         carry = jax.lax.fori_loop(
@@ -320,10 +404,9 @@ def _make_kernel(mode: Mode, sc: LinearScoring, emit_col: bool, G: int):
         # Drain: per-chain outputs.
         for g in range(G):
             st = carry[g]
-            lastrow = st[6]
-            row_out_ref[g * R:(g + 1) * R, :] = lastrow
+            row_out_ref[g * R:(g + 1) * R, :] = st["lastrow"]
             if local:
-                vmax, vimax = st[7], st[8]
+                vmax, vimax = st["vmax"], st["vimax"]
                 # Merge this window's best into the running best with
                 # row-major first-occurrence tie-breaking (smallest i,
                 # then smallest j) -- matches the reference's strict->
@@ -443,10 +526,12 @@ def _score_padded(q2, s2, m, n, mode: Mode, sc: LinearScoring,
             jax.ShapeDtypeStruct((stage_rows, LANES), Score),
             jax.ShapeDtypeStruct((4,), jnp.int32),
         ],
-        scratch_shapes=[
-            pltpu.VMEM((MR, LANES), Score),     # colbuf
-            pltpu.SMEM((8,), jnp.int32),        # running best
-        ],
+        scratch_shapes=(
+            [pltpu.VMEM((MR, LANES), Score)]    # colbuf (H boundary)
+            + ([pltpu.VMEM((MR, LANES), Score)]  # E boundary (affine)
+               if isinstance(sc, AffineScoring) else [])
+            + [pltpu.SMEM((8,), jnp.int32)]     # running best
+        ),
         interpret=interpret,
     )(dims, q2, s2)
 
@@ -462,16 +547,17 @@ def _score_padded(q2, s2, m, n, mode: Mode, sc: LinearScoring,
     }
 
 
-def _pick_g(m: int, n: int, emit_col: bool) -> int:
+def _pick_g(m: int, n: int, emit_col: bool, affine: bool = False) -> int:
     """Choose the number of staggered chains: minimize estimated wall
     time = groups * (T + (G-1)*S) * t_step(G), with t_step(G) ~ 95+5G ns
     (fitted on TPU v5e). More chains amortize dependency-chain latency;
-    fewer chains cut stagger warmup and window padding."""
+    fewer chains cut stagger warmup and window padding. Affine carries
+    ~4 more vregs per chain, so its spill cliff comes earlier."""
     nw = _bucket(n, W) // W
     nrm = -(-m // 128)
     T = 128 * nrm + W + (W if emit_col else 0)
     best_g, best_cost = 1, float("inf")
-    for g in (1, 2, 4, 5, 8, 10):
+    for g in (1, 2, 4, 5) if affine else (1, 2, 4, 5, 8, 10):
         if g > nw:
             break
         groups = -(-nw // g)
@@ -492,10 +578,13 @@ def supports(m: int) -> bool:
     return m <= M_MAX
 
 
-def score_pair(qp, sp, m, n, mode: Mode, sc: LinearScoring,
+def score_pair(qp, sp, m, n, mode: Mode, sc,
                H: int | None = None, interpret: bool = False,
                emit_col: bool | None = None, G: int | None = None):
     """Score-only linear-memory DP via the Pallas wavefront kernel.
+
+    ``sc`` may be LinearScoring or AffineScoring (real 3-matrix Gotoh,
+    bit-identical to engine/xla_affine).
 
     qp, sp: int32 arrays (host padding is fine; kernel repads internally).
     Returns the same output dict as xla_linmem.score_rows. When
@@ -515,7 +604,7 @@ def score_pair(qp, sp, m, n, mode: Mode, sc: LinearScoring,
     if emit_col is None:
         emit_col = mode is not Mode.LOCAL
     if G is None:
-        G = _pick_g(m_i, n_i, emit_col)
+        G = _pick_g(m_i, n_i, emit_col, isinstance(sc, AffineScoring))
     M_pad = _bucket(m_i, W)
     N_pad = _round_up(_bucket(n_i, W), G * W)
 
