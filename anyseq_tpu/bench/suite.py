@@ -27,17 +27,23 @@ def _mkpair(rng, n, mutated=True):
     return bytes(q), bytes(s)
 
 
-def _time(fn, reps=3):
-    import jax
+def _time(fn, reps=3, k=6):
+    """Slope timing: k back-to-back dispatches minus one, single host
+    fetch at the end (``block_until_ready`` does not actually block on
+    tunneled TPU setups, and a host fetch costs a full round trip)."""
+    fn()  # compile + smoke
 
-    fn()  # compile
-    best = float("inf")
-    for _ in range(reps):
+    def run(j):
         t0 = time.perf_counter()
-        r = fn()
-        jax.block_until_ready(r) if hasattr(r, "block_until_ready") else None
-        best = min(best, time.perf_counter() - t0)
-    return best
+        r = None
+        for _ in range(j):
+            r = fn()
+        np.asarray(r)
+        return time.perf_counter() - t0
+
+    t1 = min(run(1) for _ in range(reps))
+    tk = min(run(k) for _ in range(reps))
+    return max((tk - t1) / (k - 1), 1e-9)
 
 
 def run(quick=False, out=sys.stdout):
@@ -61,7 +67,7 @@ def run(quick=False, out=sys.stdout):
         results.append(rec)
         print(json.dumps(rec), file=out, flush=True)
 
-    def score_fn(q, s, mode):
+    def score_fn(q, s, mode, scoring=sc):
         _, _, m, n, qp, sp = api._prep(q, s)
 
         use_pallas = False
@@ -74,11 +80,13 @@ def run(quick=False, out=sys.stdout):
             if use_pallas:
                 from anyseq_tpu.kernels import band
 
-                outs = band.score_pair(qp, sp, m, n, mode, sc)
+                outs = band.score_pair(qp, sp, m, n, mode, scoring)
             else:
-                outs = xla_linmem.score_rows(qp, sp, m, n, mode, sc)
-            jax.block_until_ready(outs["best"])
-            return outs
+                from anyseq_tpu.engine import api as _api
+
+                outs = _api._run_score(qp, sp, m, n, mode, scoring,
+                                       "auto")
+            return outs["best"]
 
         return f, m * n
 
@@ -86,6 +94,17 @@ def run(quick=False, out=sys.stdout):
     q, s = _mkpair(rng, 1000)
     f, cells = score_fn(q, s, Mode.GLOBAL)
     emit("global score 1k", _time(f), cells)
+
+    # config 1b: local score-only at 10k (the headline workload) and
+    # affine (Gotoh) local at the same size
+    n1b = 2000 if quick else 10000
+    q, s = _mkpair(rng, n1b)
+    f, cells = score_fn(q, s, Mode.LOCAL)
+    emit(f"local score {n1b//1000}k", _time(f), cells)
+    from anyseq_tpu.core.types import AffineScoring
+
+    f, cells = score_fn(q, s, Mode.LOCAL, AffineScoring(2, -1, -3, -1))
+    emit(f"affine local score {n1b//1000}k", _time(f), cells)
 
     # config 2: 10k bp local + full traceback
     n2 = 2000 if quick else 10000
