@@ -118,6 +118,24 @@ def align_full_tb(query, subject, mode="global", scoring=LinearScoring(),
         out_s = np.full(m + n, EMPTY_SYM, dtype=np.uint8)
         start = tb.walk_affine(q, s, PH, PE, PF, end, out_q, out_s)
         return Alignment(score, bytes(out_q), bytes(out_s), start)
+    if engine in ("auto", "pallas"):
+        from anyseq_tpu.kernels import band
+
+        if (band.available() or engine == "pallas") and band.supports(m):
+            # Kernel path: packed 2-bit pred emission at wavefront speed
+            # + on-device walk -- only the O(m+n) strings leave the
+            # device (the O(m*n) pred matrix never does).
+            from anyseq_tpu.engine import device_tb
+
+            outs = band.score_pair(qp, sp, m, n, mode, scoring,
+                                   emit_preds=True)
+            score, end = xla_linmem.extract_score_from_outputs(
+                outs, m, n, mode, scoring
+            )
+            out_q, out_s, start = device_tb.walk_packed(
+                outs, qp, sp, m, n, end, mode
+            )
+            return Alignment(score, bytes(out_q), bytes(out_s), start)
     outs = xla_linmem.score_rows_with_preds(qp, sp, m, n, mode, scoring)
     score, end = xla_linmem.extract_score_from_outputs(outs, m, n, mode, scoring)
     P = _haloed_preds(np.asarray(outs["preds"]), m, n, mode)

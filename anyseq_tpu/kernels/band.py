@@ -123,10 +123,16 @@ def _rot_l(x, lane_iota):
     return jnp.where(lane_iota == LANES - 1, b, a)
 
 
-def _make_kernel(mode: Mode, sc, emit_col: bool, G: int):
+def _make_kernel(mode: Mode, sc, emit_col: bool, G: int,
+                 emit_preds: bool = False, p_pl: int = 0):
     local = mode is Mode.LOCAL
     is_global = mode is Mode.GLOBAL
     affine = isinstance(sc, AffineScoring)
+    if emit_preds and affine:
+        raise NotImplementedError(
+            "packed pred emission is linear-scoring only (affine fulltb "
+            "uses the XLA engine)"
+        )
     S = STAGGER
     if affine:
         go, ge = sc.gap_open, sc.gap_extend
@@ -152,11 +158,15 @@ def _make_kernel(mode: Mode, sc, emit_col: bool, G: int):
         return (t + 1) * gap
 
     def kernel(dims_ref, q_ref, s_ref, row_out_ref, ecol_out_ref,
-               best_out_ref, *scratch):
-        if affine:
-            colbuf_s, colbuf_e_s, smem_s = scratch
-        else:
-            colbuf_s, smem_s = scratch
+               best_out_ref, *rest_refs):
+        rest = list(rest_refs)
+        pred_out_ref = rest.pop(0) if emit_preds else None
+        colbuf_s = rest.pop(0)
+        colbuf_e_s = rest.pop(0) if affine else None
+        smem_s = rest.pop(0)
+        if emit_preds:
+            packstage_s = rest.pop(0)
+            pack_sem = rest.pop(0)
         gr = pl.program_id(0)
         m = dims_ref[0]
         n = dims_ref[1]
@@ -247,6 +257,7 @@ def _make_kernel(mode: Mode, sc, emit_col: bool, G: int):
                     )
                 sts.append(st)
 
+            packs = [None] * G  # block-local 2-bit pred accumulators
             for k in range(U):
                 for g in range(G):
                     t = t0s[g] + k
@@ -336,6 +347,75 @@ def _make_kernel(mode: Mode, sc, emit_col: bool, G: int):
                             def _(ca=st["colacc_e"], r_fl=r_fl):
                                 colbuf_e_s[pl.ds(r_fl, 1), :] = ca
 
+                    if emit_preds:
+                        # 2-bit predecessor code, priority diag > gap_q >
+                        # gap_s, NONE when no candidate equals the cell
+                        # (clamped local zeros) -- align.impala:37-64.
+                        # U=16 codes pack one int32 per position; bit
+                        # position is the static unroll index k.
+                        code = jnp.where(
+                            new == d2s + sub,
+                            3,
+                            jnp.where(
+                                new == d1s + gap,
+                                1,
+                                jnp.where(new == d1 + gap, 2, 0),
+                            ),
+                        )
+                        packs[g] = code << (2 * k) if k == 0 else (
+                            packs[g] | (code << (2 * k))
+                        )
+                        if k == U - 1:
+                            # Completed word plane for diagonals
+                            # [t-15, t]. Stage it; DMA a filled 64-row
+                            # slot (8 planes = 128 steps) to HBM.
+                            fill = jax.lax.div(t, 128)
+                            slot = jax.lax.rem(fill, 2)
+                            w_g = gr * G + g
+                            in_range = jnp.logical_and(
+                                t0s[g] + k >= 0,
+                                fill * 8 + 8 <= p_pl,
+                            )
+                            first_plane = jax.lax.rem(t - 15, 128) == 0
+                            last_plane = jax.lax.rem(t + 1, 128) == 0
+
+                            # Before reusing a slot (fill >= 2), drain
+                            # the DMA that read it two fills ago.
+                            @pl.when(jnp.logical_and(
+                                jnp.logical_and(first_plane, fill >= 2),
+                                in_range,
+                            ))
+                            def _(slot=slot):
+                                pltpu.make_async_copy(
+                                    packstage_s.at[
+                                        pl.ds(g * 128 + slot * 64, 64), :
+                                    ],
+                                    pred_out_ref.at[pl.ds(0, 64), :],
+                                    pack_sem.at[g, slot],
+                                ).wait()
+
+                            @pl.when(in_range)
+                            def _(pk=packs[g], fill=fill, slot=slot):
+                                prow = (g * 128 + slot * 64
+                                        + jax.lax.rem(
+                                            jax.lax.div(t, 16), 8
+                                        ) * R)
+                                packstage_s[pl.ds(prow, R), :] = pk
+
+                            @pl.when(jnp.logical_and(
+                                jnp.logical_and(last_plane, in_range),
+                                True,
+                            ))
+                            def _(fill=fill, slot=slot, w_g=w_g):
+                                dst = w_g * (p_pl * R) + fill * 64
+                                pltpu.make_async_copy(
+                                    packstage_s.at[
+                                        pl.ds(g * 128 + slot * 64, 64), :
+                                    ],
+                                    pred_out_ref.at[pl.ds(dst, 64), :],
+                                    pack_sem.at[g, slot],
+                                ).start()
+
                     # Bottom row H[m-1] collects in place at position
                     # t-(m-1).
                     st["lastrow"] = jnp.where(
@@ -405,6 +485,27 @@ def _make_kernel(mode: Mode, sc, emit_col: bool, G: int):
         for g in range(G):
             st = carry[g]
             row_out_ref[g * R:(g + 1) * R, :] = st["lastrow"]
+            if emit_preds:
+                # Outstanding pred DMAs: at most the last two fills.
+                nf = jnp.minimum(jax.lax.div(T, 128), p_pl // 8)
+
+                def _wait(f, g=g):
+                    pltpu.make_async_copy(
+                        packstage_s.at[
+                            pl.ds(g * 128 + jax.lax.rem(f, 2) * 64, 64),
+                            :,
+                        ],
+                        pred_out_ref.at[pl.ds(0, 64), :],
+                        pack_sem.at[g, jax.lax.rem(f, 2)],
+                    ).wait()
+
+                @pl.when(nf >= 1)
+                def _():
+                    _wait(nf - 1)
+
+                @pl.when(nf >= 2)
+                def _():
+                    _wait(nf - 2)
             if local:
                 vmax, vimax = st["vmax"], st["vimax"]
                 # Merge this window's best into the running best with
@@ -491,22 +592,52 @@ def _bucket(x: int, mult: int) -> int:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("mode", "sc", "emit_col", "interpret", "G")
+    jax.jit,
+    static_argnames=("mode", "sc", "emit_col", "interpret", "G",
+                     "emit_preds"),
 )
 def _score_padded(q2, s2, m, n, mode: Mode, sc: LinearScoring,
                   emit_col: bool = True, interpret: bool = False,
-                  G: int = DEFAULT_G):
+                  G: int = DEFAULT_G, emit_preds: bool = False):
     M_pad = q2.shape[0] * LANES
     N_pad = s2.shape[0] * LANES
     num_groups = N_pad // (G * W)
+    num_windows = N_pad // W
     MR = M_pad // LANES
     # ecol staging: one (R,128) chunk per W steps of the edge sweep.
     stage_rows = (_round_up(M_pad + 2 * W, W) // W) * R
+    # packed preds: one int32 word plane (R,128) per 16 diagonal steps.
+    p_pl = (M_pad + 2 * W) // 16
 
-    kernel = _make_kernel(mode, sc, emit_col, G)
+    kernel = _make_kernel(mode, sc, emit_col, G, emit_preds, p_pl)
     dims = jnp.stack([m, n]).astype(jnp.int32)
 
-    row_out, ecol_stage, best = pl.pallas_call(
+    out_shape = [
+        jax.ShapeDtypeStruct((N_pad // LANES, LANES), Score),
+        jax.ShapeDtypeStruct((stage_rows, LANES), Score),
+        jax.ShapeDtypeStruct((4,), jnp.int32),
+    ]
+    out_specs = [
+        pl.BlockSpec((G * R, LANES), lambda gr: (gr, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # ecol staging, whole
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+    ]
+    scratch = [pltpu.VMEM((MR, LANES), Score)]   # colbuf (H boundary)
+    if isinstance(sc, AffineScoring):
+        scratch.append(pltpu.VMEM((MR, LANES), Score))  # E boundary
+    scratch.append(pltpu.SMEM((8,), jnp.int32))  # running best
+    if emit_preds:
+        out_shape.append(jax.ShapeDtypeStruct(
+            (num_windows * p_pl * R, LANES), jnp.int32
+        ))
+        out_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))
+        scratch += [
+            pltpu.VMEM((G * 128, LANES), jnp.int32),  # pack staging
+            pltpu.SemaphoreType.DMA((G, 2)),
+        ]
+
+    outs = pl.pallas_call(
         kernel,
         grid=(num_groups,),
         in_specs=[
@@ -515,36 +646,27 @@ def _score_padded(q2, s2, m, n, mode: Mode, sc: LinearScoring,
             pl.BlockSpec((G * R, LANES), lambda gr: (gr, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=[
-            pl.BlockSpec((G * R, LANES), lambda gr: (gr, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # ecol staging, whole
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((N_pad // LANES, LANES), Score),
-            jax.ShapeDtypeStruct((stage_rows, LANES), Score),
-            jax.ShapeDtypeStruct((4,), jnp.int32),
-        ],
-        scratch_shapes=(
-            [pltpu.VMEM((MR, LANES), Score)]    # colbuf (H boundary)
-            + ([pltpu.VMEM((MR, LANES), Score)]  # E boundary (affine)
-               if isinstance(sc, AffineScoring) else [])
-            + [pltpu.SMEM((8,), jnp.int32)]     # running best
-        ),
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=scratch,
         interpret=interpret,
     )(dims, q2, s2)
+    row_out, ecol_stage, best = outs[0], outs[1], outs[2]
 
     if emit_col:
         last_col = _unrotate_ecol(ecol_stage, MR, m, n)
     else:
         last_col = jnp.zeros((MR * LANES,), Score)
 
-    return {
+    res = {
         "last_row": row_out.reshape(-1),
         "last_col": last_col,
         "best": best[:3],
     }
+    if emit_preds:
+        res["packed_preds"] = outs[3]
+        res["p_pl"] = p_pl
+    return res
 
 
 def _pick_g(m: int, n: int, emit_col: bool, affine: bool = False) -> int:
@@ -578,9 +700,29 @@ def supports(m: int) -> bool:
     return m <= M_MAX
 
 
+def unpack_preds_host(packed, p_pl: int, m: int, n: int):
+    """Dense (m, n) uint8 predecessor matrix from the kernel's packed
+    diagonal-major layout (testing / host traceback).
+
+    Word for cell (i, j): window w = j // W, position p = j % W, diagonal
+    t = i + p; flat word index = (w * p_pl + t // 16) * W + p; the code is
+    bits [2*(t%16), 2*(t%16)+2)."""
+    import numpy as np
+
+    flat = np.asarray(packed).reshape(-1)
+    i = np.arange(m)[:, None]
+    j = np.arange(n)[None, :]
+    w = j // W
+    p = j % W
+    t = i + p
+    idx = (w * p_pl + t // 16) * W + p
+    return ((flat[idx] >> (2 * (t % 16))) & 3).astype(np.uint8)
+
+
 def score_pair(qp, sp, m, n, mode: Mode, sc,
                H: int | None = None, interpret: bool = False,
-               emit_col: bool | None = None, G: int | None = None):
+               emit_col: bool | None = None, G: int | None = None,
+               emit_preds: bool = False):
     """Score-only linear-memory DP via the Pallas wavefront kernel.
 
     ``sc`` may be LinearScoring or AffineScoring (real 3-matrix Gotoh,
@@ -617,4 +759,5 @@ def score_pair(qp, sp, m, n, mode: Mode, sc,
     s2 = _fit(sp, N_pad, 255)
 
     return _score_padded(q2, s2, jnp.int32(m_i), jnp.int32(n_i),
-                         mode, sc, emit_col, interpret, G)
+                         mode, sc, emit_col, interpret, G,
+                         emit_preds=emit_preds)

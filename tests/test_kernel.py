@@ -62,6 +62,34 @@ def test_kernel_tall(rng):
     _check(outs, ref, m, n, Mode.LOCAL)
 
 
+@pytest.mark.parametrize("mode", [Mode.GLOBAL, Mode.SEMIGLOBAL, Mode.LOCAL])
+def test_kernel_packed_preds_and_device_walk(mode, rng):
+    """Packed 2-bit pred emission == XLA pred matrix, and the on-device
+    packed walk reproduces the oracle alignment exactly."""
+    from anyseq_tpu.engine import device_tb
+    from anyseq_tpu.ref import oracle
+
+    q = random_dna(rng, 200)
+    s = random_dna(rng, 1100)
+    _, _, m, n, qp, sp = api._prep(q, s)
+    ref = xla_linmem.score_rows_with_preds(qp, sp, m, n, mode, LIN)
+    refP = np.asarray(ref["preds"])[:m, :n]
+    outs = band.score_pair(qp, sp, m, n, mode, LIN, interpret=True, G=2,
+                           emit_preds=True)
+    P = band.unpack_preds_host(outs["packed_preds"], outs["p_pl"], m, n)
+    np.testing.assert_array_equal(P, refP)
+
+    score, end = xla_linmem.extract_score_from_outputs(
+        {k: np.asarray(v) for k, v in outs.items()}, m, n, mode, LIN,
+    )
+    oq, os, start = device_tb.walk_packed(outs, qp, sp, m, n, end, mode)
+    exp_score, exp_q, exp_s, exp_start = oracle.align(q, s, mode, LIN)
+    assert score == exp_score
+    assert bytes(oq) == bytes(exp_q)
+    assert bytes(os) == bytes(exp_s)
+    assert start == exp_start
+
+
 @pytest.mark.parametrize("mode", [Mode.GLOBAL, Mode.LOCAL])
 def test_kernel_affine(mode, rng):
     """Gotoh kernel vs the XLA affine engine, incl. the E boundary
