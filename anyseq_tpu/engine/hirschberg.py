@@ -150,12 +150,50 @@ def _hb_global(q8, s8, off_i, off_j, out_q, out_s, scoring, engine,
         else:
             active.append(part)
 
+    from anyseq_tpu.kernels import band
+
+    use_kernel = engine in ("auto", "pallas") and band.available()
+
     while active:
         parts = active
         active = []
         P = len(parts)
         hs = [p[1] - p[0] for p in parts]
         mids = [(p[3] - p[2]) // 2 for p in parts]
+
+        if (use_kernel and P <= 4 and min(mids) >= 2048
+                and max(hs) <= band.M_MAX):
+            # Shallow levels: few, wide halves -- run each through the
+            # Pallas wavefront kernel (20-50 GCUPS) instead of the
+            # batched XLA row-scan (~2-4 GCUPS). The first two levels
+            # are ~75% of total Hirschberg work.
+            cols_list = []
+            for p, (qlo, qhi, slo, shi) in enumerate(parts):
+                h, mid = hs[p], mids[p]
+                for qa, sa in (
+                    (q32[qlo:qhi], s32[slo:slo + mid]),
+                    (q32[qlo:qhi][::-1], s32[slo + mid:shi][::-1]),
+                ):
+                    outs = band.score_pair(
+                        jnp.asarray(np.ascontiguousarray(qa)),
+                        jnp.asarray(np.ascontiguousarray(sa)),
+                        len(qa), len(sa), Mode.GLOBAL, scoring,
+                    )
+                    cols_list.append(
+                        np.asarray(outs["last_col"])[:h]
+                    )
+            for p, (qlo, qhi, slo, shi) in enumerate(parts):
+                h, mid = hs[p], mids[p]
+                L = cols_list[2 * p].astype(np.int64)
+                Rv = cols_list[2 * p + 1].astype(np.int64)
+                k, score = _merge_halves(
+                    L, Rv, h, mid, shi - slo - mid, g
+                )
+                if root_score is None:
+                    root_score = score
+                classify((qlo, qlo + k + 1, slo, slo + mid))
+                classify((qlo + k + 1, qhi, slo + mid, shi))
+            continue
         Mb = batch._bucket(max(hs))
         Nb = batch._bucket(max(max(mids), max(
             (p[3] - p[2]) - mi for p, mi in zip(parts, mids)
