@@ -138,4 +138,159 @@ void traceback_affine(const unsigned char* PH, const unsigned char* PE,
     start_out[1] = j + 1;
 }
 
+// ---------------------------------------------------------------------
+// Reference-parity C ABI (reference: src/import.h:14-41): the six
+// pre-configured entry points, hard-coded linear_scoring_scheme(2,-1,-1)
+// like the reference (export.impala:13-14), plus the three *_fulltb
+// variants (export.impala:38,94,151) -- here with the CORRECT schemes
+// (the reference's semiglobal/local fulltb use global_scheme by
+// mistake; SURVEY.md quirk Q1). This is the native CPU surface for C
+// callers; the TPU path is the Python/JAX API. score_t is int64
+// (datatypes.h:15). Deviation (SURVEY.md quirk Q6): construct_* return
+// the true DP score (the reference's non-global construct scores read
+// an unwritten matrix and are unreliable).
+// ---------------------------------------------------------------------
+
+enum { AMODE_GLOBAL = 0, AMODE_SEMIGLOBAL = 1, AMODE_LOCAL = 2 };
+static const int A_MATCH = 2, A_MISMATCH = -1, A_GAP = -1;
+static const long long A_MIN = -(1LL << 40);
+
+static long long aseq_score(int mode, const unsigned char* q, long m,
+                            const unsigned char* s, long n) {
+    if (m <= 0 || n <= 0) return A_MIN;
+    int* prev = (int*)malloc(sizeof(int) * (size_t)n);
+    for (long j = 0; j < n; ++j)
+        prev[j] = mode == AMODE_GLOBAL ? (int)(j + 1) * A_GAP : 0;
+    long long best = A_MIN, col_max = A_MIN;
+    for (long i = 0; i < m; ++i) {
+        int diag = mode == AMODE_GLOBAL ? (int)i * A_GAP : 0;
+        int left = mode == AMODE_GLOBAL ? (int)(i + 1) * A_GAP : 0;
+        for (long j = 0; j < n; ++j) {
+            int v = diag + (q[i] == s[j] ? A_MATCH : A_MISMATCH);
+            int a = left + A_GAP;
+            if (a > v) v = a;
+            int b = prev[j] + A_GAP;
+            if (b > v) v = b;
+            if (mode == AMODE_LOCAL && v < 0) v = 0;
+            diag = prev[j];
+            prev[j] = v;
+            left = v;
+            if (mode == AMODE_LOCAL && v > best) best = v;
+        }
+        if (prev[n - 1] > col_max) col_max = prev[n - 1];
+    }
+    long long r;
+    if (mode == AMODE_GLOBAL) {
+        r = prev[n - 1];
+    } else if (mode == AMODE_SEMIGLOBAL) {
+        r = 0;  // empty-overlap boundary
+        for (long j = 0; j < n; ++j)
+            if (prev[j] > r) r = prev[j];
+        if (col_max > r) r = col_max;
+    } else {
+        r = best < 0 ? 0 : best;
+    }
+    free(prev);
+    return r;
+}
+
+static long long aseq_construct(int mode, const unsigned char* q, long m,
+                                const unsigned char* s, long n,
+                                unsigned char* alq, unsigned char* als) {
+    if (m <= 0 || n <= 0) return A_MIN;
+    memset(alq, ' ', (size_t)(m + n));
+    memset(als, ' ', (size_t)(m + n));
+    long Wp = n + 1;
+    unsigned char* P = (unsigned char*)calloc((size_t)(m + 1) * Wp, 1);
+    if (mode == AMODE_GLOBAL) {
+        for (long j = 1; j <= n; ++j) P[j] = PRED_GAP_Q;
+        for (long i = 1; i <= m; ++i) P[i * Wp] = PRED_GAP_S;
+    }
+    int* prev = (int*)malloc(sizeof(int) * (size_t)n);
+    for (long j = 0; j < n; ++j)
+        prev[j] = mode == AMODE_GLOBAL ? (int)(j + 1) * A_GAP : 0;
+    long long best = A_MIN;
+    long bi = -1, bj = -1;              // local argmax (first occurrence)
+    long long row_max = 0, col_max = 0; // semiglobal, 0 = boundary
+    long ri = m - 1, rj = -1, ci = -1, cj = n - 1;
+    for (long i = 0; i < m; ++i) {
+        int diag = mode == AMODE_GLOBAL ? (int)i * A_GAP : 0;
+        int left = mode == AMODE_GLOBAL ? (int)(i + 1) * A_GAP : 0;
+        for (long j = 0; j < n; ++j) {
+            int dsub = diag + (q[i] == s[j] ? A_MATCH : A_MISMATCH);
+            int a = left + A_GAP;
+            int b = prev[j] + A_GAP;
+            int v = dsub;
+            if (a > v) v = a;
+            if (b > v) v = b;
+            if (mode == AMODE_LOCAL && v < 0) v = 0;
+            unsigned char pr = PRED_NONE;  // clamped local zero
+            if (v == dsub) pr = PRED_NO_GAP;       // diag first
+            else if (v == a) pr = PRED_GAP_Q;      // then left
+            else if (v == b) pr = PRED_GAP_S;      // then up
+            P[(i + 1) * Wp + (j + 1)] = pr;
+            diag = prev[j];
+            prev[j] = v;
+            left = v;
+            if (mode == AMODE_LOCAL && v > best) {
+                best = v; bi = i; bj = j;
+            }
+        }
+        if (prev[n - 1] > col_max) { col_max = prev[n - 1]; ci = i; }
+    }
+    long ei, ej;
+    long long score;
+    if (mode == AMODE_GLOBAL) {
+        ei = m - 1; ej = n - 1; score = prev[n - 1];
+    } else if (mode == AMODE_SEMIGLOBAL) {
+        for (long j = 0; j < n; ++j)
+            if (prev[j] > row_max) { row_max = prev[j]; rj = j; }
+        if (col_max > row_max) { score = col_max; ei = ci; ej = cj; }
+        else { score = row_max; ei = ri; ej = rj; }
+    } else {
+        score = best < 0 ? 0 : best; ei = bi; ej = bj;
+    }
+    long start[2];
+    if (ei >= 0 && ej >= 0)
+        traceback_linear(P, m, n, ei, ej, q, s, alq, als, 0, start);
+    free(prev);
+    free(P);
+    return score;
+}
+
+#define ASEQ_ENTRY(name, mode, construct)                                \
+    long long name(const char* query, int lenq, const char* subject,     \
+                   int lens, char* alQuery, char* alSubject) {           \
+        (void)alQuery; (void)alSubject;                                  \
+        if (construct)                                                   \
+            return aseq_construct(mode, (const unsigned char*)query,     \
+                                  lenq, (const unsigned char*)subject,   \
+                                  lens, (unsigned char*)alQuery,         \
+                                  (unsigned char*)alSubject);            \
+        return aseq_score(mode, (const unsigned char*)query, lenq,       \
+                          (const unsigned char*)subject, lens);          \
+    }
+
+long long global_alignment_score(const char* query, int lenq,
+                                 const char* subject, int lens) {
+    return aseq_score(AMODE_GLOBAL, (const unsigned char*)query, lenq,
+                      (const unsigned char*)subject, lens);
+}
+long long semiglobal_alignment_score(const char* query, int lenq,
+                                     const char* subject, int lens) {
+    return aseq_score(AMODE_SEMIGLOBAL, (const unsigned char*)query,
+                      lenq, (const unsigned char*)subject, lens);
+}
+long long local_alignment_score(const char* query, int lenq,
+                                const char* subject, int lens) {
+    return aseq_score(AMODE_LOCAL, (const unsigned char*)query, lenq,
+                      (const unsigned char*)subject, lens);
+}
+ASEQ_ENTRY(construct_global_alignment, AMODE_GLOBAL, 1)
+ASEQ_ENTRY(construct_semiglobal_alignment, AMODE_SEMIGLOBAL, 1)
+ASEQ_ENTRY(construct_local_alignment, AMODE_LOCAL, 1)
+ASEQ_ENTRY(construct_global_alignment_fulltb, AMODE_GLOBAL, 1)
+ASEQ_ENTRY(construct_semiglobal_alignment_fulltb, AMODE_SEMIGLOBAL, 1)
+ASEQ_ENTRY(construct_local_alignment_fulltb, AMODE_LOCAL, 1)
+
 }  // extern "C"
