@@ -631,7 +631,7 @@ def _score_padded(q2, s2, m, n, mode: Mode, sc: LinearScoring,
         out_shape.append(jax.ShapeDtypeStruct(
             (num_windows * p_pl * R, LANES), jnp.int32
         ))
-        out_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))
+        out_specs.append(pl.BlockSpec(memory_space=pl.ANY))
         scratch += [
             pltpu.VMEM((G * 128, LANES), jnp.int32),  # pack staging
             pltpu.SemaphoreType.DMA((G, 2)),

@@ -25,8 +25,8 @@ import numpy as np
 
 REFERENCE_PROXY_GCUPS = 2.0
 MN = int(os.environ.get("BENCH_LEN", 10000))
-REPS = int(os.environ.get("BENCH_REPS", 3))
-K = int(os.environ.get("BENCH_K", 8))
+REPS = int(os.environ.get("BENCH_REPS", 7))
+K = int(os.environ.get("BENCH_K", 16))
 
 
 def main():
@@ -81,9 +81,12 @@ def main():
         np.asarray(r)
         return time.perf_counter() - t0
 
-    t1 = min(run(1) for _ in range(REPS))
-    tk = min(run(K) for _ in range(REPS))
-    dt = max((tk - t1) / (K - 1), 1e-9)
+    # Per-rep slope, then best-of: pairing t1/tK within one rep keeps the
+    # host round-trip constant coherent; min over reps rejects the jitter
+    # of the tunneled device (observed 3x run-to-run swings otherwise).
+    dt = min(
+        max((run(K) - run(1)) / (K - 1), 1e-9) for _ in range(REPS)
+    )
 
     gcups = m * n / dt / 1e9
     print(json.dumps({
