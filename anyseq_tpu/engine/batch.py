@@ -40,7 +40,6 @@ def _bucket(x: int, mult: int = 256) -> int:
     return max(mult, (x + mult - 1) // mult * mult)
 
 
-@functools.partial(jax.jit, static_argnames=("mode", "sc"))
 def _score_batch(q, s, ms, ns, mode: Mode, sc: LinearScoring):
     """q: (B, M) int32, s: (B, N) int32, ms/ns: (B,) int32 lengths.
 
@@ -49,7 +48,22 @@ def _score_batch(q, s, ms, ns, mode: Mode, sc: LinearScoring):
     Row sweep with the same max-plus prefix-scan trick as
     xla_linmem.score_rows, vmapped over the batch; masking handles ragged
     lengths (rows beyond m keep the carry unchanged).
+
+    SEMIGLOBAL is rejected: its score needs max over the last column too,
+    which this sweep does not track -- use :func:`_score_batch_semiglobal`
+    (``align_scores_batch`` routes there automatically).
     """
+    mode = Mode.parse(mode)
+    if mode is Mode.SEMIGLOBAL:
+        raise ValueError(
+            "_score_batch does not support SEMIGLOBAL (needs last-column "
+            "tracking); use _score_batch_semiglobal"
+        )
+    return _score_batch_jit(q, s, ms, ns, mode, sc)
+
+
+@functools.partial(jax.jit, static_argnames=("mode", "sc"))
+def _score_batch_jit(q, s, ms, ns, mode: Mode, sc: LinearScoring):
     B, M = q.shape
     N = s.shape[1]
     jg = jnp.arange(N, dtype=Score) * sc.gap  # (N,)
@@ -113,15 +127,7 @@ def _score_batch(q, s, ms, ns, mode: Mode, sc: LinearScoring):
         # H[m-1][n-1] = value of the final row at column n-1
         score = jnp.take_along_axis(last_row_f, (ns - 1)[:, None], axis=1)[:, 0]
         return score, best_pos
-    if mode is Mode.LOCAL:
-        return jnp.maximum(best, 0), best_pos
-
-    # semiglobal: max over last row (masked) and last column.
-    # The last column per pair needs a second tracking pass; we reuse the
-    # running "value at column n-1 per row" accumulated as a max instead.
-    lr = jnp.where(jmask, last_row_f, SCORE_MIN)
-    row_max = jnp.max(lr, axis=1)
-    return row_max, best_pos
+    return jnp.maximum(best, 0), best_pos  # LOCAL
 
 
 @functools.partial(jax.jit, static_argnames=("mode", "sc"))

@@ -318,6 +318,12 @@ def align_hirschberg(query, subject, mode, scoring=LinearScoring(),
     else:
         outs = _score_outputs(qr, sr, Mode.GLOBAL, scoring, engine)
         mr, nr = len(qr), len(sr)
+        # Candidates include the -1 boundary entries of the reverse-global
+        # matrix (all-gap overlap: H_rev[mr-1][-1] = mr*g, H_rev[-1][nr-1]
+        # = nr*g), which can tie the interior maxima when the optimal
+        # semiglobal path degenerates to pure gaps. Interior candidates
+        # win ties (strict > below) so the picked rectangle is non-empty
+        # whenever a non-empty representation of the score exists.
         lrow = outs["last_row"][:nr]
         lcol = outs["last_col"][:mr]
         rj_ = int(np.argmax(lrow))
@@ -327,6 +333,12 @@ def align_hirschberg(query, subject, mode, scoring=LinearScoring(),
         if int(lcol[ci]) > rscore:
             rscore = int(lcol[ci])
             ri, rj = ci, nr - 1
+        if mr * scoring.gap > rscore:
+            rscore = mr * scoring.gap
+            ri, rj = mr - 1, -1
+        if nr * scoring.gap > rscore:
+            rscore = nr * scoring.gap
+            ri, rj = -1, nr - 1
     si = ei - ri
     sj = ej - rj
     # si/sj may be ei+1/ej+1 if the reverse max sits on the -1 boundary
@@ -337,8 +349,10 @@ def align_hirschberg(query, subject, mode, scoring=LinearScoring(),
         return Alignment(score, bytes(out_q), bytes(out_s), (si, sj))
     sub_score = _hb_global(sub_q, sub_s, si, sj, out_q, out_s, scoring,
                            engine, min_width)
-    assert sub_score == score == rscore, (
-        f"hirschberg endpoint reduction mismatch: fwd={score} "
-        f"rev={rscore} rect={sub_score}"
-    )
+    if not (sub_score == score == rscore):
+        raise RuntimeError(
+            f"hirschberg endpoint reduction mismatch: fwd={score} "
+            f"rev={rscore} rect={sub_score} (mode={mode}, m={m}, n={n}, "
+            f"end=({ei},{ej}), start=({si},{sj})) -- please report"
+        )
     return Alignment(score, bytes(out_q), bytes(out_s), (si, sj))

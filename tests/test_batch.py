@@ -50,3 +50,17 @@ def test_batch_custom_scoring():
 def test_batch_empty_rejected():
     with pytest.raises(ValueError):
         align_scores_batch([b""], [b"ACGT"], Mode.GLOBAL, SC)
+
+
+def test_score_batch_rejects_semiglobal():
+    """Regression: _score_batch silently returned last-row-only maxima for
+    SEMIGLOBAL; it must refuse (align_scores_batch routes to the correct
+    _score_batch_semiglobal)."""
+    import jax.numpy as jnp
+    from anyseq_tpu.engine.batch import _score_batch
+
+    q = jnp.zeros((2, 256), jnp.int32)
+    s = jnp.zeros((2, 256), jnp.int32)
+    ls = jnp.full((2,), 10, jnp.int32)
+    with pytest.raises(ValueError, match="SEMIGLOBAL"):
+        _score_batch(q, s, ls, ls, Mode.SEMIGLOBAL, SC)

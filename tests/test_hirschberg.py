@@ -102,3 +102,52 @@ def test_api_routes_hirschberg():
     s = mutate(rng, q)
     aln = anyseq_tpu.align(q, s, "global", SC, traceback="hirschberg")
     assert aln.score == oracle.align_score(q, s, Mode.GLOBAL, SC)
+
+
+@pytest.mark.parametrize("mode", MODES)
+def test_hb_all_same_letter(mode):
+    """Degenerate tie-heavy input: every cell relaxation ties."""
+    q = b"A" * 130
+    s = b"A" * 97
+    exp = oracle.align_score(q, s, mode, SC)
+    aln = align_hirschberg(q, s, mode, SC, min_width=32)
+    assert aln.score == exp
+    assert rescore(aln) == exp
+    ok, _, _ = reconstructs(aln, q, s)
+    assert ok
+
+
+@pytest.mark.parametrize("mode", MODES)
+def test_hb_gap_heavy(mode):
+    """Harsh mismatch vs mild gap forces gap-dominated paths."""
+    sc = LinearScoring(2, -9, -1)
+    rng = np.random.default_rng(3)
+    q = random_dna(rng, 90)
+    s = random_dna(rng, 140)
+    exp = oracle.align_score(q, s, mode, sc)
+    aln = align_hirschberg(q, s, mode, sc, min_width=32)
+    assert aln.score == exp
+    assert rescore(aln, sc) == exp
+
+
+def test_hb_semiglobal_empty_overlap():
+    """Unrelated inputs where the best semiglobal path can degenerate to
+    the all-gap boundary (exercises the -1-boundary candidates of the
+    reverse pass)."""
+    sc = LinearScoring(1, -10, -1)
+    q = b"AAAA"
+    s = b"TTTT"
+    exp = oracle.align_score(q, s, Mode.SEMIGLOBAL, sc)
+    aln = align_hirschberg(q, s, Mode.SEMIGLOBAL, sc, min_width=2)
+    assert aln.score == exp
+    assert rescore(aln, sc) == exp
+
+
+def test_hb_semiglobal_single_cell_shapes():
+    sc = LinearScoring(2, -1, -1)
+    for q, s in [(b"A", b"ACGT"), (b"ACGT", b"A"), (b"A", b"A"),
+                 (b"G", b"T")]:
+        for mode in MODES:
+            exp = oracle.align_score(q, s, mode, sc)
+            aln = align_hirschberg(q, s, mode, sc, min_width=2)
+            assert aln.score == exp, (q, s, mode)
