@@ -13,10 +13,13 @@ wavefront (iteration_cpu.impala:23-27) lifted across chips.
 Pipeline efficiency: (B bands) / (B + K - 1 super-steps); choose H so that
 B >> K.
 
-The per-band, per-stripe relaxation reuses the row-scan + max-plus
-prefix-scan formulation (see engine/xla_linmem.py); on TPU the Pallas band
-kernel can be slotted in per-stripe without changing the communication
-structure.
+The per-band, per-stripe relaxation runs through the Pallas boundary-mode
+wavefront kernel on TPU (``engine="pallas"``; the same staggered-window
+inner loop as the single-chip path, kernels/band.py) and falls back to the
+portable row-scan + max-plus prefix-scan formulation elsewhere -- the
+communication structure (ppermute of H+1 boundary values per superstep) is
+identical for both. This mirrors the reference using the SAME fast inner
+loop for every execution shape (iteration_acc.impala:30-83 vs :87-172).
 """
 from __future__ import annotations
 
@@ -33,6 +36,50 @@ from anyseq_tpu.engine import xla_linmem
 
 def _round_up(x, m):
     return (x + m - 1) // m * m
+
+
+def _band_compute_kernel(q_band, s_loc, row_in, col_in, j0, i0, h_local,
+                         n, mode, sc, G, interpret):
+    """Same contract as :func:`_band_compute`, computed by the Pallas
+    boundary-mode wavefront kernel (kernels/band.py) instead of the XLA
+    row-scan. Requires H % 128 == 0 and Nl % (G*1024) == 0.
+    """
+    from anyseq_tpu.kernels import band
+
+    H = q_band.shape[0]
+    Nl = s_loc.shape[0]
+    num_windows = Nl // band.W
+    corner = col_in[0]
+
+    corners = band._band_corners(row_in, corner, num_windows)
+    # Kernel-local n: count of valid columns in this stripe (global j < n
+    # <=> local j < n - j0). Drives the edge-window ecol selection and the
+    # local-mode valid mask.
+    n_loc = jnp.clip(n - j0, 0, Nl)
+
+    outs = band._score_band_padded(
+        q_band.reshape(-1, band.LANES),
+        s_loc.reshape(-1, band.LANES),
+        row_in.reshape(-1, band.LANES),
+        col_in[1:].reshape(-1, band.LANES),
+        corners, h_local, n_loc, mode, sc,
+        emit_col=True, interpret=interpret, G=G,
+    )
+    row_out = outs["last_row"][:Nl]
+    col_out = jnp.concatenate(
+        [jnp.reshape(row_in[Nl - 1], (1,)), outs["col_out"][:H]]
+    )
+    ecol = outs["last_col"][:H]
+    best = outs["best"]
+    if mode is Mode.LOCAL:
+        # kernel best i is band-local; j is stripe-local.
+        valid = best[0] > SCORE_MIN
+        best = jnp.where(
+            valid,
+            jnp.stack([best[0], best[1] + i0, best[2] + j0]),
+            jnp.array([SCORE_MIN, -1, -1], Score),
+        )
+    return row_out, col_out, ecol, best
 
 
 def _band_compute(q_band, s_loc, row_in, col_in, j0, i0, h_local, n,
@@ -90,10 +137,14 @@ def _band_compute(q_band, s_loc, row_in, col_in, j0, i0, h_local, n,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("mode", "sc", "H", "mesh", "axis")
+    jax.jit,
+    static_argnames=("mode", "sc", "H", "mesh", "axis", "use_kernel",
+                     "G", "interpret"),
 )
 def _sharded_score(q, s_sh, row0_sh, m, n, mode: Mode, sc: LinearScoring,
-                   H: int, mesh: Mesh, axis: str = "sp"):
+                   H: int, mesh: Mesh, axis: str = "sp",
+                   use_kernel: bool = False, G: int = 1,
+                   interpret: bool = False):
     """q: (M_pad,) replicated; s_sh/row0_sh: (N_pad,) sharded over axis."""
     M_pad = q.shape[0]
     B = M_pad // H
@@ -120,10 +171,16 @@ def _sharded_score(q, s_sh, row0_sh, m, n, mode: Mode, sc: LinearScoring,
                 col_form = jnp.zeros((H + 1,), Score)
             col_bnd = jnp.where(k == 0, col_form, col_in)
 
-            row2, col_out, ecol, bbest = _band_compute(
-                q_band, s_loc, row_loc, col_bnd, j0, i0, h_local, n,
-                mode, sc,
-            )
+            if use_kernel:
+                row2, col_out, ecol, bbest = _band_compute_kernel(
+                    q_band, s_loc, row_loc, col_bnd, j0, i0, h_local, n,
+                    mode, sc, G, interpret,
+                )
+            else:
+                row2, col_out, ecol, bbest = _band_compute(
+                    q_band, s_loc, row_loc, col_bnd, j0, i0, h_local, n,
+                    mode, sc,
+                )
             row_loc = jnp.where(active, row2, row_loc)
             ecol_acc = jnp.where(
                 active,
@@ -190,8 +247,14 @@ def _sharded_score(q, s_sh, row0_sh, m, n, mode: Mode, sc: LinearScoring,
 
 
 def score_pair_sharded(query, subject, mode, sc: LinearScoring,
-                       mesh: Mesh, H: int = 1024, axis: str = "sp"):
+                       mesh: Mesh, H: int = 4096, axis: str = "sp",
+                       engine: str = "auto"):
     """Distributed score-only alignment of one (large) pair.
+
+    engine: "pallas" (boundary-mode wavefront kernel per stripe-band,
+    the TPU fast path), "pallas-interpret" (same, interpreted -- CPU
+    testing), "xla" (portable row-scan), or "auto" (pallas on
+    accelerators, xla otherwise).
 
     Returns the same outputs dict as xla_linmem.score_rows; combine with
     xla_linmem.extract_score_from_outputs.
@@ -204,8 +267,27 @@ def score_pair_sharded(query, subject, mode, sc: LinearScoring,
     m, n = len(q8), len(s8)
     if m == 0 or n == 0:
         raise ValueError("empty sequences are not supported")
+    if engine == "auto":
+        from anyseq_tpu.kernels import band as _band
+
+        engine = "pallas" if _band.available() else "xla"
+    use_kernel = engine in ("pallas", "pallas-interpret")
+    interpret = engine == "pallas-interpret"
     K = mesh.shape[axis]
-    Nl = _round_up(max(n, 1), 128 * K) // K
+    G = 1
+    if use_kernel:
+        from anyseq_tpu.kernels import band as _band
+
+        if H % 128 != 0:
+            raise ValueError("kernel engine needs H % 128 == 0")
+        # Stripes aligned to whole windows; pick the largest
+        # cost-effective G that divides the window count per stripe.
+        Nl = _round_up(max(n, 1), _band.W * K) // K
+        g_best = _band._pick_g(H, Nl, emit_col=True)
+        G = max(g for g in (1, 2, 4, 5, 8)
+                if g <= g_best and (Nl // _band.W) % g == 0)
+    else:
+        Nl = _round_up(max(n, 1), 128 * K) // K
     N_pad = Nl * K
     M_pad = _round_up(m, H)
 
@@ -222,4 +304,5 @@ def score_pair_sharded(query, subject, mode, sc: LinearScoring,
     row0 = jax.device_put(row0, shard)
 
     return _sharded_score(q, s, row0, jnp.int32(m), jnp.int32(n), mode, sc,
-                          H, mesh, axis)
+                          H, mesh, axis, use_kernel=use_kernel, G=G,
+                          interpret=interpret)

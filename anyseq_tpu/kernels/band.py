@@ -69,6 +69,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -124,7 +125,22 @@ def _rot_l(x, lane_iota):
 
 
 def _make_kernel(mode: Mode, sc, emit_col: bool, G: int,
-                 emit_preds: bool = False, p_pl: int = 0):
+                 emit_preds: bool = False, p_pl: int = 0,
+                 boundary: bool = False):
+    """Build the wavefront kernel body.
+
+    ``boundary=False``: closed-form DP boundary (the top row / left column
+    of the whole matrix, align.impala:85-90) -- the single-call fast path.
+
+    ``boundary=True``: the kernel relaxes a horizontal *band* of the DP
+    matrix given explicit boundary state -- top row H[i0-1][j] (plus
+    F[i0-1][j] for affine), per-window corners, and the band's left
+    column -- and emits the band's bottom row and right column. This is
+    the restartable form of the reference's linear-memory boundary
+    vectors (scoring.impala:218-259): chaining bands lifts the M_MAX
+    VMEM cap, and feeding columns from a neighbor chip turns it into the
+    sharded stripe wavefront.
+    """
     local = mode is Mode.LOCAL
     is_global = mode is Mode.GLOBAL
     affine = isinstance(sc, AffineScoring)
@@ -157,9 +173,22 @@ def _make_kernel(mode: Mode, sc, emit_col: bool, G: int,
             return go + (t + 1) * ge
         return (t + 1) * gap
 
-    def kernel(dims_ref, q_ref, s_ref, row_out_ref, ecol_out_ref,
-               best_out_ref, *rest_refs):
-        rest = list(rest_refs)
+    def kernel(*refs):
+        rest = list(refs)
+        dims_ref = rest.pop(0)
+        corners_ref = rest.pop(0) if boundary else None
+        q_ref = rest.pop(0)
+        s_ref = rest.pop(0)
+        row_in_ref = rest.pop(0) if boundary else None
+        rowf_in_ref = rest.pop(0) if (boundary and affine) else None
+        col_in_ref = rest.pop(0) if boundary else None
+        cole_in_ref = rest.pop(0) if (boundary and affine) else None
+        row_out_ref = rest.pop(0)
+        ecol_out_ref = rest.pop(0)
+        best_out_ref = rest.pop(0)
+        col_out_ref = rest.pop(0) if boundary else None
+        cole_out_ref = rest.pop(0) if (boundary and affine) else None
+        rowf_out_ref = rest.pop(0) if (boundary and affine) else None
         pred_out_ref = rest.pop(0) if emit_preds else None
         colbuf_s = rest.pop(0)
         colbuf_e_s = rest.pop(0) if affine else None
@@ -172,6 +201,17 @@ def _make_kernel(mode: Mode, sc, emit_col: bool, G: int,
         n = dims_ref[1]
         mr_rows = q_ref.shape[0]          # M_pad // 128 (static)
         nrm = jax.lax.div(m + 127, 128)   # used colbuf rows (dynamic)
+
+        if boundary:
+            # Stage the input left column into the rolling column scratch
+            # before any window reads it (program order; windows then
+            # overwrite it row-by-row with their right edges, each read
+            # preceding the overwrite by the stagger discipline).
+            @pl.when(gr == 0)
+            def _():
+                colbuf_s[:, :] = col_in_ref[:, :]
+                if affine:
+                    colbuf_e_s[:, :] = cole_in_ref[:, :]
 
         lane_iota = jax.lax.broadcasted_iota(jnp.int32, (R, LANES), 1)
         sub_iota = jax.lax.broadcasted_iota(jnp.int32, (R, LANES), 0)
@@ -202,13 +242,28 @@ def _make_kernel(mode: Mode, sc, emit_col: bool, G: int,
         emask = [flat_iota == edges[g] for g in range(G)]
 
         def fresh_state(g):
-            st = {
-                "d1": jnp.where(
+            if boundary:
+                # Birth places the ENTIRE boundary top row into d1/d2s:
+                # positions > t keep these values (the step update masks
+                # them out) and are consumed exactly when the sweep front
+                # reaches them -- equivalent dataflow to the closed-form
+                # per-step injection, but sourced from memory.
+                tr = row_in_ref[g * R:(g + 1) * R, :]
+                corner = corners_ref[gr * G + g]
+                d1_0 = tr
+                d2s_0 = jnp.where(
+                    flat_iota == 0, corner, _shift_r(tr, lane_iota)
+                )
+            else:
+                d1_0 = jnp.where(
                     flat_iota == 0, topval(j0s[g]), 0
-                ).astype(Score),
-                "d2s": jnp.where(
+                ).astype(Score)
+                d2s_0 = jnp.where(
                     flat_iota == 0, topval(j0s[g] - 1), 0
-                ).astype(Score),
+                ).astype(Score)
+            st = {
+                "d1": d1_0,
+                "d2s": d2s_0,
                 "qd": jnp.zeros((R, LANES), jnp.int32),
                 "qfeed": zrow, "colfeed": zrow, "colacc": zrow,
                 "lastrow": zero8,
@@ -219,8 +274,12 @@ def _make_kernel(mode: Mode, sc, emit_col: bool, G: int,
             if emit_col:
                 st["ecol"] = zero8
             if affine:
+                if boundary:
+                    st["f"] = rowf_in_ref[g * R:(g + 1) * R, :]
+                    st["lastrowf"] = zero8
+                else:
+                    st["f"] = jnp.full((R, LANES), NEG, Score)
                 st["e"] = jnp.full((R, LANES), NEG, Score)
-                st["f"] = jnp.full((R, LANES), NEG, Score)
                 st["colfeed_e"] = zrow
                 st["colacc_e"] = zrow
             return st
@@ -272,9 +331,10 @@ def _make_kernel(mode: Mode, sc, emit_col: bool, G: int,
 
                     # Left boundary cell(t, j0-1) at position 0. The very
                     # first window uses the closed-form init column
-                    # (scoring.impala:224).
+                    # (scoring.impala:224) -- or, in boundary mode, the
+                    # staged input column (already in colbuf).
                     d1s = _shift_r(d1, lane_iota)
-                    if g == 0:
+                    if g == 0 and not boundary:
                         lcb = jnp.where(gr == 0, colbound(t), colfeed)
                     else:
                         lcb = colfeed
@@ -292,7 +352,7 @@ def _make_kernel(mode: Mode, sc, emit_col: bool, G: int,
                             d1 + (go + ge), st["f"] + ge
                         )
                         e_s = _shift_r(st["e"], lane_iota)
-                        if g == 0:
+                        if g == 0 and not boundary:
                             eb = jnp.where(gr == 0, NEG, st["colfeed_e"])
                         else:
                             eb = st["colfeed_e"]
@@ -302,10 +362,21 @@ def _make_kernel(mode: Mode, sc, emit_col: bool, G: int,
                         if local:
                             T_ = jnp.maximum(T_, 0)
                         new = jnp.maximum(T_, e_new)
-                        # F[-1][.] = -inf at the advancing front.
-                        st["f"] = jnp.where(
-                            flat_iota == t + 1, NEG, f_new
-                        )
+                        if boundary:
+                            # Positions > t keep the birth F boundary row
+                            # (consumed when the front reaches them).
+                            st["f"] = jnp.where(
+                                flat_iota <= t, f_new, st["f"]
+                            )
+                            st["lastrowf"] = jnp.where(
+                                flat_iota == t - (m - 1), f_new,
+                                st["lastrowf"],
+                            )
+                        else:
+                            # F[-1][.] = -inf at the advancing front.
+                            st["f"] = jnp.where(
+                                flat_iota == t + 1, NEG, f_new
+                            )
                         st["e"] = e_new
                         st["colacc_e"] = jnp.where(
                             row_iota == LANES - 1,
@@ -461,10 +532,15 @@ def _make_kernel(mode: Mode, sc, emit_col: bool, G: int,
                                 ecol_out_ref[pl.ds(c_fl * R, R), :] = ecol
 
                     # Top boundary row injection for D_t: position t+1 =
-                    # topval(j0+t+1) (closed-form broadcast select).
-                    st["d1"] = jnp.where(
-                        flat_iota == t + 1, topval(j0s[g] + t + 1), new
-                    )
+                    # topval(j0+t+1) (closed-form broadcast select). In
+                    # boundary mode the row values were pre-placed at
+                    # birth; the mask keeps them at positions > t.
+                    if boundary:
+                        st["d1"] = jnp.where(flat_iota <= t, new, d1)
+                    else:
+                        st["d1"] = jnp.where(
+                            flat_iota == t + 1, topval(j0s[g] + t + 1), new
+                        )
                     st["d2s"] = d1s
                     st["qd"] = qd
                     st["qfeed"] = pltpu.roll(qfeed, LANES - 1, 1)
@@ -485,6 +561,8 @@ def _make_kernel(mode: Mode, sc, emit_col: bool, G: int,
         for g in range(G):
             st = carry[g]
             row_out_ref[g * R:(g + 1) * R, :] = st["lastrow"]
+            if boundary and affine:
+                rowf_out_ref[g * R:(g + 1) * R, :] = st["lastrowf"]
             if emit_preds:
                 # Outstanding pred DMAs: at most the last two fills.
                 nf = jnp.minimum(jax.lax.div(T, 128), p_pl // 8)
@@ -547,6 +625,12 @@ def _make_kernel(mode: Mode, sc, emit_col: bool, G: int,
             best_out_ref[1] = smem_s[1]
             best_out_ref[2] = smem_s[2]
             best_out_ref[3] = 0
+            if boundary:
+                # After the final window, colbuf holds the band's right
+                # boundary column (the last window's right edge).
+                col_out_ref[:, :] = colbuf_s[:, :]
+                if affine:
+                    cole_out_ref[:, :] = colbuf_e_s[:, :]
 
     return kernel
 
@@ -669,6 +753,230 @@ def _score_padded(q2, s2, m, n, mode: Mode, sc: LinearScoring,
     return res
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("mode", "sc", "emit_col", "interpret", "G",
+                     "emit_preds"),
+)
+def _score_band_padded(q2, s2, row2, col2, corners, m, n, mode: Mode, sc,
+                       emit_col: bool = True, interpret: bool = False,
+                       G: int = DEFAULT_G, emit_preds: bool = False,
+                       rowf2=None, cole2=None):
+    """Boundary-mode kernel call: relax a band of ``m`` query rows whose
+    top row / left column state is given explicitly.
+
+    q2: (M_pad//128, 128) band query symbols; s2: (N_pad//128, 128)
+    subject; row2: (N_pad//128, 128) boundary top row H[i0-1][j] (affine
+    also rowf2 = F[i0-1][j]); col2: (M_pad//128, 128) band left column
+    H[i0+r][-1] (affine also cole2 = E column); corners: (num_windows,)
+    int32, corners[w] = H[i0-1][w*W - 1] (w = 0 is the band corner).
+
+    Returns dict with last_row / last_col / best / col_out (+ affine
+    last_row_f / col_out_e; + packed_preds when emit_preds). ``best`` i is
+    band-local.
+    """
+    affine = isinstance(sc, AffineScoring)
+    M_pad = q2.shape[0] * LANES
+    N_pad = s2.shape[0] * LANES
+    num_groups = N_pad // (G * W)
+    num_windows = N_pad // W
+    MR = M_pad // LANES
+    stage_rows = (_round_up(M_pad + 2 * W, W) // W) * R
+    p_pl = (M_pad + 2 * W) // 16
+
+    kernel = _make_kernel(mode, sc, emit_col, G, emit_preds, p_pl,
+                          boundary=True)
+    dims = jnp.stack([m, n]).astype(jnp.int32)
+
+    blocked = lambda: pl.BlockSpec((G * R, LANES), lambda gr: (gr, 0),
+                                   memory_space=pltpu.VMEM)
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),   # dims
+        pl.BlockSpec(memory_space=pltpu.SMEM),   # corners
+        pl.BlockSpec(memory_space=pltpu.VMEM),   # q, whole band
+        blocked(),                               # s
+        blocked(),                               # row_in
+    ]
+    inputs = [dims, corners.astype(jnp.int32), q2, s2, row2]
+    if affine:
+        in_specs.append(blocked())               # rowf_in
+        inputs.append(rowf2)
+    in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))  # col_in
+    inputs.append(col2)
+    if affine:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))  # cole_in
+        inputs.append(cole2)
+
+    out_shape = [
+        jax.ShapeDtypeStruct((N_pad // LANES, LANES), Score),  # row_out
+        jax.ShapeDtypeStruct((stage_rows, LANES), Score),      # ecol stage
+        jax.ShapeDtypeStruct((4,), jnp.int32),                 # best
+        jax.ShapeDtypeStruct((MR, LANES), Score),              # col_out
+    ]
+    out_specs = [
+        blocked(),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+    ]
+    if affine:
+        out_shape += [
+            jax.ShapeDtypeStruct((MR, LANES), Score),           # cole_out
+            jax.ShapeDtypeStruct((N_pad // LANES, LANES), Score),  # rowf
+        ]
+        out_specs += [pl.BlockSpec(memory_space=pltpu.VMEM), blocked()]
+    if emit_preds:
+        out_shape.append(jax.ShapeDtypeStruct(
+            (num_windows * p_pl * R, LANES), jnp.int32
+        ))
+        out_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+
+    scratch = [pltpu.VMEM((MR, LANES), Score)]   # colbuf
+    if affine:
+        scratch.append(pltpu.VMEM((MR, LANES), Score))  # E colbuf
+    scratch.append(pltpu.SMEM((8,), jnp.int32))
+    if emit_preds:
+        scratch += [
+            pltpu.VMEM((G * 128, LANES), jnp.int32),
+            pltpu.SemaphoreType.DMA((G, 2)),
+        ]
+
+    outs = pl.pallas_call(
+        kernel,
+        grid=(num_groups,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=scratch,
+        interpret=interpret,
+    )(*inputs)
+    row_out, ecol_stage, best, col_out = outs[0], outs[1], outs[2], outs[3]
+
+    if emit_col:
+        last_col = _unrotate_ecol(ecol_stage, MR, m, n)
+    else:
+        last_col = jnp.zeros((MR * LANES,), Score)
+
+    res = {
+        "last_row": row_out.reshape(-1),
+        "last_col": last_col,
+        "best": best[:3],
+        "col_out": col_out.reshape(-1),
+    }
+    if affine:
+        res["col_out_e"] = outs[4].reshape(-1)
+        res["last_row_f"] = outs[5].reshape(-1)
+    if emit_preds:
+        res["packed_preds"] = outs[-1]
+        res["p_pl"] = p_pl
+    return res
+
+
+def _band_corners(row_in_flat, corner, num_windows):
+    """corners[w] = H[i0-1][w*W - 1]: the band corner for w = 0, the
+    boundary-row value just left of each window for w > 0."""
+    idx = jnp.arange(1, num_windows) * W - 1
+    return jnp.concatenate([
+        jnp.reshape(corner, (1,)).astype(jnp.int32),
+        row_in_flat[idx].astype(jnp.int32),
+    ])
+
+
+# Default band height for chaining query heights above M_MAX: keeps the
+# per-band column buffers (colbuf scratch + col_in + col_out) ~3 MiB.
+M_BAND = 256 * 1024
+
+
+def score_pair_chained(qp, sp, m, n, mode: Mode, sc,
+                       band_rows: int = M_BAND, interpret: bool = False,
+                       G: int | None = None):
+    """Arbitrary-height scoring on the kernel path: chain boundary-mode
+    band sweeps, feeding each band's bottom row (+ affine F row) to the
+    next -- the streamed form of the reference's linear-memory row vector
+    (scoring.impala:218-259). O(n + band_rows) device memory.
+    """
+    mode = Mode.parse(mode)
+    affine = isinstance(sc, AffineScoring)
+    m_i, n_i = int(m), int(n)
+    emit_col = mode is not Mode.LOCAL
+    if G is None:
+        G = _pick_g(min(m_i, band_rows), n_i, emit_col, affine)
+    N_pad = _round_up(_bucket(n_i, W), G * W)
+    M_pad = band_rows
+    assert band_rows % LANES == 0
+    num_windows = N_pad // W
+    num_bands = -(-m_i // band_rows)
+
+    def _fit(arr, size, fill):
+        out = jnp.full((size,), fill, jnp.int32)
+        k = min(arr.shape[0], size)
+        return out.at[:k].set(arr[:k]).reshape(size // LANES, LANES)
+
+    s2 = _fit(sp, N_pad, 255)
+    qp = jnp.asarray(qp)
+
+    jj = jnp.arange(N_pad, dtype=Score)
+    ii = jnp.arange(M_pad, dtype=Score)
+    if mode is Mode.GLOBAL:
+        if affine:
+            row = sc.gap_open + (jj + 1) * sc.gap_extend
+            col_of = lambda i0: (
+                sc.gap_open + (i0 + ii + 1) * sc.gap_extend
+            ).reshape(-1, LANES)
+            corner_of = lambda i0: jnp.where(
+                i0 == 0, 0, sc.gap_open + i0 * sc.gap_extend
+            )
+        else:
+            row = (jj + 1) * sc.gap
+            col_of = lambda i0: ((i0 + ii + 1) * sc.gap).reshape(-1, LANES)
+            corner_of = lambda i0: i0 * sc.gap
+    else:
+        row = jnp.zeros((N_pad,), Score)
+        col_of = lambda i0: jnp.zeros((M_pad // LANES, LANES), Score)
+        corner_of = lambda i0: jnp.int32(0)
+    rowf = jnp.full((N_pad,), NEG, Score) if affine else None
+
+    last_cols = []
+    bests = []
+    for b in range(num_bands):
+        i0 = b * band_rows
+        h = min(band_rows, m_i - i0)
+        q2 = _fit(qp[i0:i0 + h], M_pad, 0)
+        kw = {}
+        if affine:
+            kw["rowf2"] = rowf.reshape(-1, LANES)
+            kw["cole2"] = jnp.full((M_pad // LANES, LANES), NEG, Score)
+        outs = _score_band_padded(
+            q2, s2, row.reshape(-1, LANES), col_of(jnp.int32(i0)),
+            _band_corners(row, corner_of(jnp.int32(i0)), num_windows),
+            jnp.int32(h), jnp.int32(n_i), mode, sc,
+            emit_col=emit_col, interpret=interpret, G=G, **kw,
+        )
+        row = outs["last_row"]
+        if affine:
+            rowf = outs["last_row_f"]
+        if emit_col:
+            last_cols.append(outs["last_col"][:h])
+        bests.append(outs["best"])
+
+    if emit_col:
+        last_col = jnp.concatenate(last_cols)
+    else:
+        last_col = jnp.zeros((1,), Score)
+    # Merge per-band local bests: strictly-greater takes, so the earliest
+    # band wins ties (matches single-sweep first-occurrence order, the
+    # reference's strict-> argmax, utils.impala:38-48).
+    b0 = np.asarray(bests[0])
+    merged = (int(b0[0]), int(b0[1]), int(b0[2]))
+    for b in range(1, num_bands):
+        cand = np.asarray(bests[b])
+        c = (int(cand[0]), int(cand[1]) + b * band_rows, int(cand[2]))
+        if c[0] > merged[0]:
+            merged = c
+    best_arr = jnp.asarray(np.array(merged, np.int32))
+    return {"last_row": row, "last_col": last_col, "best": best_arr}
+
+
 def _pick_g(m: int, n: int, emit_col: bool, affine: bool = False) -> int:
     """Choose the number of staggered chains: minimize estimated wall
     time = groups * (T + (G-1)*S) * t_step(G), with t_step(G) ~ 95+5G ns
@@ -739,10 +1047,14 @@ def score_pair(qp, sp, m, n, mode: Mode, sc,
     m_i = int(m)
     n_i = int(n)
     if m_i > M_MAX:
-        raise ValueError(
-            f"pallas kernel supports m <= {M_MAX}; use the XLA engine or "
-            "the sharded path for taller problems"
-        )
+        if emit_preds:
+            raise ValueError(
+                f"packed pred emission supports m <= {M_MAX}; use the "
+                "Hirschberg path for taller constructions"
+            )
+        # Arbitrary heights: chain boundary-mode band sweeps.
+        return score_pair_chained(qp, sp, m_i, n_i, mode, sc,
+                                  interpret=interpret, G=G)
     if emit_col is None:
         emit_col = mode is not Mode.LOCAL
     if G is None:

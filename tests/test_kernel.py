@@ -98,3 +98,78 @@ def test_kernel_affine(mode, rng):
     ref = xla_affine.score_rows_affine(qp, sp, m, n, mode, AFF)
     outs = band.score_pair(qp, sp, m, n, mode, AFF, interpret=True, G=2)
     _check(outs, ref, m, n, mode)
+
+
+@pytest.mark.parametrize("mode", [Mode.GLOBAL, Mode.SEMIGLOBAL, Mode.LOCAL])
+def test_kernel_chained_bands_linear(mode, rng):
+    """Boundary-mode band chaining (m > band_rows): bit-exact vs the
+    single-sweep XLA engine, including the cross-band local best merge."""
+    m, n, qp, sp = _prep(rng, 2100, 1500)
+    ref = xla_linmem.score_rows(qp, sp, m, n, mode, LIN)
+    outs = band.score_pair_chained(qp, sp, m, n, mode, LIN,
+                                   band_rows=1024, interpret=True)
+    _check(outs, ref, m, n, mode)
+    rs, rp = xla_linmem.extract_score_from_outputs(
+        {k: np.asarray(v) for k, v in ref.items()}, m, n, mode, LIN)
+    os_, op = xla_linmem.extract_score_from_outputs(
+        {k: np.asarray(v) for k, v in outs.items()}, m, n, mode, LIN)
+    assert (rs, rp) == (os_, op)
+
+
+@pytest.mark.parametrize("mode", [Mode.GLOBAL, Mode.SEMIGLOBAL, Mode.LOCAL])
+def test_kernel_chained_bands_affine(mode, rng):
+    """Affine band chaining: H and F boundary rows stream across bands."""
+    m, n, qp, sp = _prep(rng, 1400, 900)
+    ref = xla_affine.score_rows_affine(qp, sp, m, n, mode, AFF)
+    outs = band.score_pair_chained(qp, sp, m, n, mode, AFF,
+                                   band_rows=1024, interpret=True)
+    _check(outs, ref, m, n, mode)
+
+
+def test_kernel_band_boundary_inputs(rng):
+    """score_band with hand-built boundary state must equal the matching
+    rows of a full sweep (the restartable-boundary contract)."""
+    import jax.numpy as jnp
+
+    m, n, qp, sp = _prep(rng, 512, 640)
+    ref = xla_linmem.score_rows(qp, sp, m, n, Mode.GLOBAL, LIN)
+    # Full matrix via oracle rows: band 2 covers rows [256, 512).
+    from anyseq_tpu.ref import oracle
+
+    q8 = np.asarray(qp)[:m].astype(np.uint8)
+    s8 = np.asarray(sp)[:n].astype(np.uint8)
+    H, _ = oracle.dp_full(q8, s8, Mode.GLOBAL, LIN)  # (m+1, n+1) haloed
+    i0 = 256
+    N_pad = 1024 * 2  # bucket(640, 1024) -> 1024; G*W alignment below
+    G = 1
+    N_pad = 1024
+    row_in = np.full(N_pad, 0, np.int32)
+    row_in[:n] = H[i0, 1:]
+    col_in = np.zeros(512, np.int32)
+    col_in[:m - i0] = ((i0 + np.arange(m - i0) + 1) * LIN.gap)
+    corners = band._band_corners(
+        jnp.asarray(row_in), jnp.int32(i0 * LIN.gap), N_pad // band.W
+    )
+    outs = band._score_band_padded(
+        jnp.asarray(np.concatenate([
+            np.asarray(qp)[i0:m], np.zeros(512 - (m - i0), np.int32)
+        ])).reshape(-1, 128),
+        jnp.asarray(np.concatenate([
+            np.asarray(sp)[:n], np.full(N_pad - n, 255, np.int32)
+        ])).reshape(-1, 128),
+        jnp.asarray(row_in).reshape(-1, 128),
+        jnp.asarray(col_in).reshape(-1, 128),
+        corners, jnp.int32(m - i0), jnp.int32(n),
+        Mode.GLOBAL, LIN, emit_col=True, interpret=True, G=G,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(outs["last_row"])[:n], H[m, 1:n + 1]
+    )
+    np.testing.assert_array_equal(
+        np.asarray(outs["last_col"])[:m - i0], H[i0 + 1:, n]
+    )
+    # col_out = right edge of the padded matrix width; check vs the
+    # last_row/col consistency instead of padded values: the first
+    # (m - i0) entries must equal column N_pad-1 of a padded DP -- cheap
+    # sanity: finite int32 values present.
+    assert np.asarray(outs["col_out"]).shape[0] == 512

@@ -59,3 +59,25 @@ def test_mesh_shapes():
     assert m.shape["sp"] == 4 and m.shape["dp"] == 2
     with pytest.raises(ValueError):
         meshlib.make_mesh(sp=3, dp=3)
+
+
+@pytest.mark.parametrize("mode", MODES)
+def test_sharded_kernel_engine_bitexact(mesh8, mode):
+    """The Pallas boundary-mode kernel under shard_map (interpret mode)
+    must be bit-identical to the XLA stripe engine and the oracle --
+    VERDICT r1 item 1: same fast inner loop across execution shapes."""
+    rng = np.random.default_rng(33)
+    q = random_dna(rng, 200)
+    s = mutate(rng, random_dna(rng, 1800))
+    m, n = len(q), len(s)
+    outs = score_pair_sharded(q, s, mode, SC, mesh8, H=128,
+                              engine="pallas-interpret")
+    outs = {k: np.asarray(v) for k, v in outs.items()}
+    score, pos = xla_linmem.extract_score_from_outputs(outs, m, n, mode, SC)
+    exp_H, _ = oracle.dp_full(q, s, mode, SC)
+    exp_score, exp_pos = oracle.extract_score(exp_H, mode, SC)
+    assert score == exp_score
+    if mode is Mode.LOCAL:
+        assert tuple(pos) == tuple(exp_pos)
+    np.testing.assert_array_equal(outs["last_row"][:n], exp_H[m, 1:])
+    np.testing.assert_array_equal(outs["last_col"][:m], exp_H[1:, n])
