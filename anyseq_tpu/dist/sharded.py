@@ -280,12 +280,12 @@ def score_pair_sharded(query, subject, mode, sc: LinearScoring,
 
         if H % 128 != 0:
             raise ValueError("kernel engine needs H % 128 == 0")
-        # Stripes aligned to whole windows; pick the largest
-        # cost-effective G that divides the window count per stripe.
-        Nl = _round_up(max(n, 1), _band.W * K) // K
-        g_best = _band._pick_g(H, Nl, emit_col=True)
-        G = max(g for g in (1, 2, 4, 5, 8)
-                if g <= g_best and (Nl // _band.W) % g == 0)
+        # Pick the cost-effective chain count FIRST, then align the
+        # stripe width to whole window groups (padding cost <= G-1
+        # windows per stripe; a bad G costs far more than the padding).
+        G = _band._pick_g(H, _round_up(max(n, 1), _band.W * K) // K,
+                          emit_col=True)
+        Nl = _round_up(max(n, 1), _band.W * G * K) // K
     else:
         Nl = _round_up(max(n, 1), 128 * K) // K
     N_pad = Nl * K

@@ -166,14 +166,27 @@ def _haloed_affine_preds(packed: np.ndarray, m: int, n: int, mode: Mode):
 
 
 def align(query, subject, mode="global", scoring=LinearScoring(),
-          traceback="auto", engine="auto") -> Alignment:
+          traceback="auto", engine="auto", mesh=None) -> Alignment:
     """Construct an alignment (reference: construct_*_alignment, which
     defaults to the linear-memory Hirschberg path, align.impala:237-311).
 
     traceback: "hirschberg" (linear memory), "full" (O(m*n) predecessor
     matrix), or "auto" (hirschberg for large problems, full for small).
+
+    mesh: optional jax.sharding.Mesh -- distributes the Hirschberg
+    construction over the device mesh (forces traceback="hirschberg";
+    bit-identical to the single-device result).
     """
     mode = Mode.parse(mode)
+    if mesh is not None:
+        if isinstance(scoring, AffineScoring):
+            raise NotImplementedError(
+                "distributed construction supports linear scoring"
+            )
+        from anyseq_tpu.engine import hirschberg
+
+        return hirschberg.align_hirschberg(query, subject, mode, scoring,
+                                           engine, mesh=mesh)
     if isinstance(scoring, AffineScoring) and traceback == "auto":
         traceback = "full"  # affine Hirschberg (Myers-Miller) not yet wired
     if traceback == "auto":

@@ -47,11 +47,19 @@ from anyseq_tpu.ref import oracle
 MIN_WIDTH = 256
 
 
-def _score_outputs(q8, s8, mode, scoring, engine, emit_col=True):
-    """Run a score pass, returning numpy outputs dict."""
+def _score_outputs(q8, s8, mode, scoring, engine, emit_col=True,
+                   mesh=None):
+    """Run a score pass, returning numpy outputs dict. With ``mesh`` the
+    pass runs subject-sharded over the mesh (dist/sharded.py)."""
     from anyseq_tpu.engine import api, xla_linmem
 
     m, n = len(q8), len(s8)
+    if mesh is not None:
+        from anyseq_tpu.dist.sharded import score_pair_sharded
+
+        outs = score_pair_sharded(q8, s8, mode, scoring, mesh,
+                                  engine=engine)
+        return {k: np.asarray(v) for k, v in outs.items()}
     _, _, _, _, qp, sp = api._prep(q8, s8)
     use_pallas = False
     if engine in ("auto", "pallas"):
@@ -99,7 +107,7 @@ def _merge_halves(L, Rv, h, mid_w, right_w, g):
 
 
 def _hb_global(q8, s8, off_i, off_j, out_q, out_s, scoring, engine,
-               min_width=MIN_WIDTH):
+               min_width=MIN_WIDTH, mesh=None, sp_min_width=None):
     """Level-synchronous global Hirschberg; returns the global score.
 
     All forward-left and reversed-right halves of one level run as ONE
@@ -109,6 +117,16 @@ def _hb_global(q8, s8, off_i, off_j, out_q, out_s, scoring, engine,
     reference's iteration_blockwise, iteration_cpu.impala:121-157). Host
     work per level is the tiny argmax merge. This keeps the number of
     device round-trips at O(log n) instead of O(n / min_width).
+
+    With ``mesh``, every phase is distributed (SURVEY.md:148-150,
+    "Hirschberg across chips"): shallow wide halves run subject-sharded
+    over the mesh (boundary columns via the pipelined stripe wavefront,
+    dist/sharded.py), deep levels and terminal stripes run data-parallel
+    over all devices (dist/batch.py), and the hb_sum argmax merge stays
+    on host (O(m) per level). Results are bit-identical to the
+    single-device path (same integer recurrences, same tie-breaks).
+    ``sp_min_width``: minimum half width for the subject-sharded phase
+    (default: 2048 columns per device).
     """
     from anyseq_tpu.engine import api, batch, xla_linmem
 
@@ -153,6 +171,15 @@ def _hb_global(q8, s8, off_i, off_j, out_q, out_s, scoring, engine,
     from anyseq_tpu.kernels import band
 
     use_kernel = engine in ("auto", "pallas") and band.available()
+    if mesh is not None:
+        import math
+
+        from anyseq_tpu.dist import batch as dist_batch
+        from anyseq_tpu.dist.sharded import score_pair_sharded
+
+        n_dev = math.prod(mesh.shape.values())
+        if sp_min_width is None:
+            sp_min_width = 2048 * n_dev
 
     while active:
         parts = active
@@ -161,7 +188,37 @@ def _hb_global(q8, s8, off_i, off_j, out_q, out_s, scoring, engine,
         hs = [p[1] - p[0] for p in parts]
         mids = [(p[3] - p[2]) // 2 for p in parts]
 
-        if (use_kernel and P <= 4 and min(mids) >= 2048
+        if mesh is not None and P <= 4 and min(mids) >= sp_min_width:
+            # Wide halves: subject-sharded pipelined wavefront per half
+            # over the whole mesh; the half's boundary column is the
+            # sweep's last-column output.
+            cols_list = []
+            for p, (qlo, qhi, slo, shi) in enumerate(parts):
+                h, mid = hs[p], mids[p]
+                for qa, sa in (
+                    (q8[qlo:qhi], s8[slo:slo + mid]),
+                    (q8[qlo:qhi][::-1], s8[slo + mid:shi][::-1]),
+                ):
+                    outs = score_pair_sharded(
+                        np.ascontiguousarray(qa),
+                        np.ascontiguousarray(sa),
+                        Mode.GLOBAL, scoring, mesh, engine=engine,
+                    )
+                    cols_list.append(np.asarray(outs["last_col"])[:h])
+            for p, (qlo, qhi, slo, shi) in enumerate(parts):
+                h, mid = hs[p], mids[p]
+                L = cols_list[2 * p].astype(np.int64)
+                Rv = cols_list[2 * p + 1].astype(np.int64)
+                k, score = _merge_halves(
+                    L, Rv, h, mid, shi - slo - mid, g
+                )
+                if root_score is None:
+                    root_score = score
+                classify((qlo, qlo + k + 1, slo, slo + mid))
+                classify((qlo + k + 1, qhi, slo + mid, shi))
+            continue
+
+        if (mesh is None and use_kernel and P <= 4 and min(mids) >= 2048
                 and max(hs) <= band.M_MAX):
             # Shallow levels: few, wide halves -- run each through the
             # Pallas wavefront kernel (20-50 GCUPS) instead of the
@@ -212,10 +269,16 @@ def _hb_global(q8, s8, off_i, off_j, out_q, out_s, scoring, engine,
             ms[2 * p] = ms[2 * p + 1] = h
             ns[2 * p] = mid
             ns[2 * p + 1] = shi - slo - mid
-        cols = np.asarray(batch.last_cols_batch(
-            jnp.asarray(qarr), jnp.asarray(sarr),
-            jnp.asarray(ms), jnp.asarray(ns), scoring,
-        ))
+        if mesh is not None:
+            cols = np.asarray(dist_batch.last_cols_batch_sharded(
+                jnp.asarray(qarr), jnp.asarray(sarr),
+                jnp.asarray(ms), jnp.asarray(ns), scoring, mesh,
+            ))
+        else:
+            cols = np.asarray(batch.last_cols_batch(
+                jnp.asarray(qarr), jnp.asarray(sarr),
+                jnp.asarray(ms), jnp.asarray(ns), scoring,
+            ))
         for p, (qlo, qhi, slo, shi) in enumerate(parts):
             h, mid = hs[p], mids[p]
             L = cols[:h, 2 * p].astype(np.int64)
@@ -247,10 +310,16 @@ def _hb_global(q8, s8, off_i, off_j, out_q, out_s, scoring, engine,
                 sarr[b, :w] = s32[slo:shi]
                 ms[b] = h
                 ns[b] = w
-            preds, _ = batch.preds_batch(
-                jnp.asarray(qarr), jnp.asarray(sarr),
-                jnp.asarray(ms), jnp.asarray(ns), scoring,
-            )
+            if mesh is not None:
+                preds, _ = dist_batch.preds_batch_sharded(
+                    jnp.asarray(qarr), jnp.asarray(sarr),
+                    jnp.asarray(ms), jnp.asarray(ns), scoring, mesh,
+                )
+            else:
+                preds, _ = batch.preds_batch(
+                    jnp.asarray(qarr), jnp.asarray(sarr),
+                    jnp.asarray(ms), jnp.asarray(ns), scoring,
+                )
             preds = np.asarray(preds)
             for b, (qlo, qhi, slo, shi) in enumerate(chunk):
                 h, w = qhi - qlo, shi - slo
@@ -264,18 +333,22 @@ def _hb_global(q8, s8, off_i, off_j, out_q, out_s, scoring, engine,
     return root_score
 
 
-def _find_end(q8, s8, mode, scoring, engine):
+def _find_end(q8, s8, mode, scoring, engine, mesh=None):
     """Forward score pass: (score, end position)."""
     from anyseq_tpu.engine import xla_linmem
 
-    outs = _score_outputs(q8, s8, mode, scoring, engine)
+    outs = _score_outputs(q8, s8, mode, scoring, engine, mesh=mesh)
     return xla_linmem.extract_score_from_outputs(
         outs, len(q8), len(s8), mode, scoring
     )
 
 
 def align_hirschberg(query, subject, mode, scoring=LinearScoring(),
-                     engine="auto", min_width=MIN_WIDTH) -> Alignment:
+                     engine="auto", min_width=MIN_WIDTH, mesh=None,
+                     sp_min_width=None) -> Alignment:
+    """Linear-memory alignment construction. With ``mesh`` the whole
+    construction is distributed over the device mesh and bit-identical
+    to the single-device result (see :func:`_hb_global`)."""
     mode = Mode.parse(mode)
     if not isinstance(scoring, LinearScoring):
         raise ValueError(
@@ -293,11 +366,11 @@ def align_hirschberg(query, subject, mode, scoring=LinearScoring(),
 
     if mode is Mode.GLOBAL:
         score = _hb_global(q8, s8, 0, 0, out_q, out_s, scoring, engine,
-                           min_width)
+                           min_width, mesh=mesh, sp_min_width=sp_min_width)
         return Alignment(score, bytes(out_q), bytes(out_s), (0, 0))
 
     # semiglobal / local: endpoint reduction to a global sub-rectangle.
-    score, end = _find_end(q8, s8, mode, scoring, engine)
+    score, end = _find_end(q8, s8, mode, scoring, engine, mesh=mesh)
     ei, ej = end
     if ei < 0 or ej < 0 or (mode is Mode.LOCAL and score <= 0):
         # Empty alignment (boundary maximum / all-negative local matrix)
@@ -313,10 +386,11 @@ def align_hirschberg(query, subject, mode, scoring=LinearScoring(),
     qr = q8[: ei + 1][::-1]
     sr = s8[: ej + 1][::-1]
     if mode is Mode.LOCAL:
-        rscore, rend = _find_end(qr, sr, mode, scoring, engine)
+        rscore, rend = _find_end(qr, sr, mode, scoring, engine, mesh=mesh)
         ri, rj = rend
     else:
-        outs = _score_outputs(qr, sr, Mode.GLOBAL, scoring, engine)
+        outs = _score_outputs(qr, sr, Mode.GLOBAL, scoring, engine,
+                              mesh=mesh)
         mr, nr = len(qr), len(sr)
         # Candidates include the -1 boundary entries of the reverse-global
         # matrix (all-gap overlap: H_rev[mr-1][-1] = mr*g, H_rev[-1][nr-1]
@@ -348,7 +422,8 @@ def align_hirschberg(query, subject, mode, scoring=LinearScoring(),
     if len(sub_q) == 0 or len(sub_s) == 0:
         return Alignment(score, bytes(out_q), bytes(out_s), (si, sj))
     sub_score = _hb_global(sub_q, sub_s, si, sj, out_q, out_s, scoring,
-                           engine, min_width)
+                           engine, min_width, mesh=mesh,
+                           sp_min_width=sp_min_width)
     if not (sub_score == score == rscore):
         raise RuntimeError(
             f"hirschberg endpoint reduction mismatch: fwd={score} "
