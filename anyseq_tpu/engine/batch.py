@@ -274,6 +274,151 @@ def preds_batch(q, s, ms, ns, sc: LinearScoring):
     return preds, cols
 
 
+@functools.partial(jax.jit, static_argnames=("sc",))
+def last_cols_batch_affine(q, s, ms, ns, sc, sgap):
+    """Global affine (Gotoh) boundary columns for a batch of pairs.
+
+    q: (B, M) int32, s: (B, N) int32, ms/ns: (B,) lengths, sgap: (B,)
+    bool -- per-pair Myers-Miller start-in-gap flag (the pair's top
+    boundary row continues a horizontal gap run paid by the caller: init
+    row drops gap_open, corner and left column are unreachable; see
+    engine/xla_affine.score_rows_affine).
+
+    Returns ((M, B) H columns, (M, B) E columns): entry [i, b] =
+    H_b[i][ns_b - 1] / E_b[i][ns_b - 1]. One device call per
+    Myers-Miller level (the affine analog of last_cols_batch).
+    """
+    from anyseq_tpu.engine.xla_affine import NEG
+
+    B, M = q.shape
+    N = s.shape[1]
+    go, ge = sc.gap_open, sc.gap_extend
+    jge = jnp.arange(N, dtype=Score) * ge
+
+    row0 = ((jnp.arange(N, dtype=Score) + 1) * ge)[None, :] + jnp.where(
+        sgap, 0, go
+    )[:, None].astype(Score)
+
+    def body(i, carry):
+        H_prev, F_prev, cols_h, cols_e = carry
+        active = i < ms
+        col_i = jnp.where(sgap, NEG, go + (i + 1) * ge).astype(Score)
+        col_im1 = jnp.where(
+            sgap, NEG, jnp.where(i == 0, 0, go + i * ge)
+        ).astype(Score)
+        F = jnp.maximum(H_prev + (go + ge), F_prev + ge)
+        diag = jnp.concatenate([col_im1[:, None], H_prev[:, :-1]], axis=1)
+        qi = jnp.take_along_axis(
+            q, jnp.minimum(i, ms - 1)[:, None].astype(jnp.int32), axis=1
+        )
+        sub = jnp.where(qi == s, sc.match, sc.mismatch).astype(Score)
+        T = jnp.maximum(diag + sub, F)
+        cm = jax.lax.cummax(T - jge[None, :], axis=1)
+        E = go + jge[None, :] + jnp.maximum(
+            jnp.concatenate(
+                [jnp.full((B, 1), NEG, Score), cm[:, :-1]], axis=1
+            ),
+            (col_i + ge)[:, None],
+        )
+        H = jnp.maximum(T, E)
+        H = jnp.where(active[:, None], H, H_prev)
+        F = jnp.where(active[:, None], F, F_prev)
+        lh = jnp.take_along_axis(H, (ns - 1)[:, None], axis=1)[:, 0]
+        le = jnp.take_along_axis(E, (ns - 1)[:, None], axis=1)[:, 0]
+        cols_h = jax.lax.dynamic_update_slice(cols_h, lh[None, :], (i, 0))
+        cols_e = jax.lax.dynamic_update_slice(cols_e, le[None, :], (i, 0))
+        return H, F, cols_h, cols_e
+
+    init = (
+        row0,
+        jnp.full((B, N), NEG, Score),
+        jnp.zeros((M, B), Score),
+        jnp.full((M, B), NEG, Score),
+    )
+    _, _, cols_h, cols_e = jax.lax.fori_loop(0, jnp.max(ms), body, init)
+    return cols_h, cols_e
+
+
+@functools.partial(jax.jit, static_argnames=("sc",))
+def preds_batch_affine(q, s, ms, ns, sc, sgap):
+    """Global affine predecessor matrices for a batch (terminal stripes
+    of the Myers-Miller construction). Packing as
+    xla_affine.score_rows_affine_with_preds: bits 0-1 PH, bit 2 PE
+    extend, bit 3 PF extend. Returns ((B, M, N) uint8, (M, B) H cols,
+    (M, B) E cols)."""
+    from anyseq_tpu.core.types import (
+        PRED_GAP_Q, PRED_GAP_S, PRED_NO_GAP, PRED_NONE,
+    )
+    from anyseq_tpu.engine.xla_affine import NEG
+
+    B, M = q.shape
+    N = s.shape[1]
+    go, ge = sc.gap_open, sc.gap_extend
+    jge = jnp.arange(N, dtype=Score) * ge
+
+    row0 = ((jnp.arange(N, dtype=Score) + 1) * ge)[None, :] + jnp.where(
+        sgap, 0, go
+    )[:, None].astype(Score)
+
+    def body(i, carry):
+        H_prev, F_prev, preds, cols_h, cols_e = carry
+        active = i < ms
+        col_i = jnp.where(sgap, NEG, go + (i + 1) * ge).astype(Score)
+        col_im1 = jnp.where(
+            sgap, NEG, jnp.where(i == 0, 0, go + i * ge)
+        ).astype(Score)
+        F = jnp.maximum(H_prev + (go + ge), F_prev + ge)
+        diag = jnp.concatenate([col_im1[:, None], H_prev[:, :-1]], axis=1)
+        qi = jnp.take_along_axis(
+            q, jnp.minimum(i, ms - 1)[:, None].astype(jnp.int32), axis=1
+        )
+        sub = jnp.where(qi == s, sc.match, sc.mismatch).astype(Score)
+        T = jnp.maximum(diag + sub, F)
+        cm = jax.lax.cummax(T - jge[None, :], axis=1)
+        E = go + jge[None, :] + jnp.maximum(
+            jnp.concatenate(
+                [jnp.full((B, 1), NEG, Score), cm[:, :-1]], axis=1
+            ),
+            (col_i + ge)[:, None],
+        )
+        H = jnp.maximum(T, E)
+        ph = jnp.where(
+            H == diag + sub,
+            PRED_NO_GAP,
+            jnp.where(
+                H == E,
+                PRED_GAP_Q,
+                jnp.where(H == F, PRED_GAP_S, PRED_NONE),
+            ),
+        )
+        h_left = jnp.concatenate([col_i[:, None], H[:, :-1]], axis=1)
+        pe = jnp.where(E == h_left + (go + ge), 0, 1)
+        pf = jnp.where(F == H_prev + (go + ge), 0, 1)
+        packed = (ph + pe * 4 + pf * 8).astype(jnp.uint8)
+        preds = jax.lax.dynamic_update_slice(
+            preds, packed[:, None, :], (0, i, 0)
+        )
+        H = jnp.where(active[:, None], H, H_prev)
+        F = jnp.where(active[:, None], F, F_prev)
+        lh = jnp.take_along_axis(H, (ns - 1)[:, None], axis=1)[:, 0]
+        le = jnp.take_along_axis(E, (ns - 1)[:, None], axis=1)[:, 0]
+        cols_h = jax.lax.dynamic_update_slice(cols_h, lh[None, :], (i, 0))
+        cols_e = jax.lax.dynamic_update_slice(cols_e, le[None, :], (i, 0))
+        return H, F, preds, cols_h, cols_e
+
+    init = (
+        row0,
+        jnp.full((B, N), NEG, Score),
+        jnp.zeros((B, M, N), jnp.uint8),
+        jnp.zeros((M, B), Score),
+        jnp.full((M, B), NEG, Score),
+    )
+    _, _, preds, cols_h, cols_e = jax.lax.fori_loop(
+        0, jnp.max(ms), body, init
+    )
+    return preds, cols_h, cols_e
+
+
 def align_scores_batch(queries, subjects, mode="global",
                        scoring=LinearScoring(), batch_size: int = 512):
     """Score many pairs. queries/subjects: sequences of str/bytes/uint8.

@@ -33,6 +33,7 @@ import numpy as np
 
 from anyseq_tpu.core.types import (
     EMPTY_SYM,
+    AffineScoring,
     Alignment,
     LinearScoring,
     Mode,
@@ -70,6 +71,10 @@ def _score_outputs(q8, s8, mode, scoring, engine, emit_col=True,
         from anyseq_tpu.kernels import band
 
         outs = band.score_pair(qp, sp, m, n, mode, scoring, emit_col=emit_col)
+    elif isinstance(scoring, AffineScoring):
+        from anyseq_tpu.engine import xla_affine
+
+        outs = xla_affine.score_rows_affine(qp, sp, m, n, mode, scoring)
     else:
         outs = xla_linmem.score_rows(qp, sp, m, n, mode, scoring)
     return {k: np.asarray(v) for k, v in outs.items()}
@@ -328,6 +333,196 @@ def _hb_global(q8, s8, off_i, off_j, out_q, out_s, scoring, engine,
                 )
                 tb.walk_linear(
                     q8[qlo:qhi], s8[slo:shi], Pm, (h - 1, w - 1),
+                    out_q, out_s, off_i + qlo, off_j + slo,
+                )
+    return root_score
+
+
+def _merge_halves_affine(HL, EL, HR, ER, h, mid_w, right_w, sc,
+                         sgap, egap):
+    """Myers-Miller merge at a subject cut: over k in [-1, h-1],
+    type1 (cut crossed in H state)  = HL[k] + HR[h-2-k]
+    type2 (one horizontal gap run spans the cut) = EL[k] + ER[h-2-k] - go
+    with closed-form k = -1 / r = -1 boundary entries (an all-gap
+    boundary-row run, whose gap_open is dropped when the part's own
+    start/end flag says the run is paid by the caller).
+
+    Returns (k, crosses_in_gap, score); ties -> smallest k, type1 first.
+    """
+    go, ge = sc.gap_open, sc.gap_extend
+    HLv = np.empty(h + 1, np.int64)
+    ELv = np.empty(h + 1, np.int64)
+    HLv[0] = ELv[0] = mid_w * ge + (0 if sgap else go)
+    HLv[1:] = HL[:h]
+    ELv[1:] = EL[:h]
+    HRv = np.empty(h + 1, np.int64)
+    ERv = np.empty(h + 1, np.int64)
+    HRv[:h] = HR[:h][::-1]
+    ERv[:h] = ER[:h][::-1]
+    HRv[h] = ERv[h] = right_w * ge + (0 if egap else go)
+    t1 = HLv + HRv
+    t2 = ELv + ERv - go
+    b1, b2 = int(np.max(t1)), int(np.max(t2))
+    if b1 >= b2:
+        return int(np.argmax(t1)) - 1, False, b1
+    return int(np.argmax(t2)) - 1, True, b2
+
+
+def _haloed_affine_preds_mm(packed, h, w, sgap):
+    """Haloed PH/PE/PF planes for a Myers-Miller terminal stripe (always
+    GLOBAL scheme; ``sgap`` selects the continuing-run boundary-row
+    convention: the boundary E run never 'opens' inside the stripe)."""
+    from anyseq_tpu.core.types import PRED_GAP_Q, PRED_GAP_S
+
+    PH = np.zeros((h + 1, w + 1), dtype=np.uint8)
+    PE = np.zeros((h + 1, w + 1), dtype=np.uint8)
+    PF = np.zeros((h + 1, w + 1), dtype=np.uint8)
+    PH[1:, 1:] = packed & 3
+    PE[1:, 1:] = (packed >> 2) & 1
+    PF[1:, 1:] = (packed >> 3) & 1
+    PH[0, 1:] = PRED_GAP_Q
+    PH[1:, 0] = PRED_GAP_S
+    if sgap:
+        PE[0, 1:] = 1     # run continues past the stripe boundary
+    else:
+        PE[0, 2:] = 1     # run opens at column 0 (from the corner)
+    PF[2:, 0] = 1
+    return PH, PE, PF
+
+
+def _hb_global_affine(q8, s8, off_i, off_j, out_q, out_s, sc, engine,
+                      min_width=MIN_WIDTH, sgap=False, egap=False):
+    """Linear-memory affine (Gotoh) alignment construction: the
+    Myers-Miller divide-and-conquer. Level-synchronous like
+    :func:`_hb_global`; parts carry (start-in-gap, end-in-gap) flags so
+    horizontal gap runs crossing a cut are charged exactly one gap_open
+    (engine passes: batch.last_cols_batch_affine / preds_batch_affine).
+
+    Beyond-reference capability (the reference's affine scoring is dead
+    code, align.impala:153-166 / SURVEY.md Q3); returns the true global
+    affine score."""
+    from anyseq_tpu.engine import api, batch
+    from anyseq_tpu.engine import xla_affine
+
+    m, n = len(q8), len(s8)
+    go, ge = sc.gap_open, sc.gap_extend
+    if m == 0:
+        _write_all_gap_subject(s8, off_i, off_j, out_q, out_s)
+        return (0 if sgap else go) + ge * n if n else 0
+    if n == 0:
+        _write_all_gap_query(q8, off_i, off_j, out_q, out_s)
+        return go + ge * m
+
+    q32 = q8.astype(np.int32)
+    s32 = s8.astype(np.int32)
+
+    root_score = None
+    active = []
+    terminals = []
+
+    def classify(part):
+        qlo, qhi, slo, shi, sg, eg = part
+        h, w = qhi - qlo, shi - slo
+        if h == 0:
+            _write_all_gap_subject(s8[slo:shi], off_i + qlo, off_j + slo,
+                                   out_q, out_s)
+        elif w <= min_width or w < 2 or h <= 1:
+            terminals.append(part)
+        else:
+            active.append(part)
+
+    classify((0, m, 0, n, sgap, egap))
+
+    while active:
+        parts = active
+        active = []
+        P = len(parts)
+        hs = [p[1] - p[0] for p in parts]
+        mids = [(p[3] - p[2]) // 2 for p in parts]
+
+        Mb = batch._bucket(max(hs))
+        Nb = batch._bucket(max(max(mids), max(
+            (p[3] - p[2]) - mi for p, mi in zip(parts, mids)
+        )), 128)
+        B = 2 * P
+        qarr = np.full((B, Mb), batch._PAD_Q, np.int32)
+        sarr = np.full((B, Nb), batch._PAD_S, np.int32)
+        ms = np.empty(B, np.int32)
+        ns = np.empty(B, np.int32)
+        sgaps = np.zeros(B, bool)
+        for p, (qlo, qhi, slo, shi, sg, eg) in enumerate(parts):
+            h, mid = hs[p], mids[p]
+            qarr[2 * p, :h] = q32[qlo:qhi]
+            qarr[2 * p + 1, :h] = q32[qlo:qhi][::-1]
+            sarr[2 * p, :mid] = s32[slo:slo + mid]
+            sarr[2 * p + 1, : shi - slo - mid] = s32[slo + mid:shi][::-1]
+            ms[2 * p] = ms[2 * p + 1] = h
+            ns[2 * p] = mid
+            ns[2 * p + 1] = shi - slo - mid
+            sgaps[2 * p] = sg       # forward half inherits start flag
+            sgaps[2 * p + 1] = eg   # reversed half: end flag -> start
+        cols_h, cols_e = batch.last_cols_batch_affine(
+            jnp.asarray(qarr), jnp.asarray(sarr),
+            jnp.asarray(ms), jnp.asarray(ns), sc, jnp.asarray(sgaps),
+        )
+        cols_h = np.asarray(cols_h)
+        cols_e = np.asarray(cols_e)
+        for p, (qlo, qhi, slo, shi, sg, eg) in enumerate(parts):
+            h, mid = hs[p], mids[p]
+            k, in_gap, score = _merge_halves_affine(
+                cols_h[:h, 2 * p].astype(np.int64),
+                cols_e[:h, 2 * p].astype(np.int64),
+                cols_h[:h, 2 * p + 1].astype(np.int64),
+                cols_e[:h, 2 * p + 1].astype(np.int64),
+                h, mid, shi - slo - mid, sc, sg, eg,
+            )
+            if root_score is None:
+                root_score = score
+            classify((qlo, qlo + k + 1, slo, slo + mid, sg, in_gap))
+            classify((qlo + k + 1, qhi, slo + mid, shi, in_gap, eg))
+
+    # Terminal stripes, batched by shape bucket.
+    from anyseq_tpu.core.types import PRED_GAP_Q
+    from anyseq_tpu.engine import tb
+
+    groups: dict[tuple[int, int], list] = {}
+    for t in terminals:
+        h, w = t[1] - t[0], t[3] - t[2]
+        groups.setdefault(
+            (batch._bucket(h), batch._bucket(w, 128)), []
+        ).append(t)
+    for (Hb, Wb), ts in groups.items():
+        for lo in range(0, len(ts), 512):
+            chunk = ts[lo: lo + 512]
+            B = len(chunk)
+            qarr = np.full((B, Hb), batch._PAD_Q, np.int32)
+            sarr = np.full((B, Wb), batch._PAD_S, np.int32)
+            ms = np.empty(B, np.int32)
+            ns = np.empty(B, np.int32)
+            sgaps = np.zeros(B, bool)
+            for b, (qlo, qhi, slo, shi, sg, eg) in enumerate(chunk):
+                h, w = qhi - qlo, shi - slo
+                qarr[b, :h] = q32[qlo:qhi]
+                sarr[b, :w] = s32[slo:shi]
+                ms[b] = h
+                ns[b] = w
+                sgaps[b] = sg
+            preds, _, _ = batch.preds_batch_affine(
+                jnp.asarray(qarr), jnp.asarray(sarr),
+                jnp.asarray(ms), jnp.asarray(ns), sc, jnp.asarray(sgaps),
+            )
+            preds = np.asarray(preds)
+            for b, (qlo, qhi, slo, shi, sg, eg) in enumerate(chunk):
+                h, w = qhi - qlo, shi - slo
+                PH, PE, PF = _haloed_affine_preds_mm(
+                    preds[b, :h, :w], h, w, sg
+                )
+                if eg:
+                    # Start the walk in E state: the path must leave the
+                    # stripe's last cell inside a horizontal run.
+                    PH[h, w] = PRED_GAP_Q
+                tb.walk_affine(
+                    q8[qlo:qhi], s8[slo:shi], PH, PE, PF, (h - 1, w - 1),
                     out_q, out_s, off_i + qlo, off_j + slo,
                 )
     return root_score

@@ -62,26 +62,49 @@ def _affine_row(H_prev, F_prev, q_sym, s, col_i, col_im1, jge, mode, sc):
     return H, E, F, diag, sub
 
 
-@functools.partial(jax.jit, static_argnames=("mode", "sc"))
-def score_rows_affine(q, s, m, n, mode: Mode, sc: AffineScoring):
-    """Affine analog of xla_linmem.score_rows; same outputs contract."""
+@functools.partial(
+    jax.jit, static_argnames=("mode", "sc", "start_gap", "emit_col_e")
+)
+def score_rows_affine(q, s, m, n, mode: Mode, sc: AffineScoring,
+                      start_gap: bool = False, emit_col_e: bool = False):
+    """Affine analog of xla_linmem.score_rows; same outputs contract.
+
+    start_gap (GLOBAL only): the alignment enters the rectangle's top
+    boundary row already inside a horizontal gap run whose gap_open was
+    paid by the caller -- the boundary row init drops its gap_open, and
+    the corner + left boundary column become unreachable (the incoming
+    run must consume column 0 at the boundary row). Myers-Miller
+    crossing-state subproblem, see engine/hirschberg.py.
+
+    emit_col_e: additionally return ``last_col_e`` = E[i][n-1], the
+    horizontal-gap-state boundary column the Myers-Miller merge needs.
+    """
     N = s.shape[0]
     M = q.shape[0]
     jge = jnp.arange(N, dtype=Score) * sc.gap_extend
     jmask = jnp.arange(N) < n
 
-    row0 = _col_bound(
-        mode, sc, jnp.arange(N, dtype=Score)
-    ) if mode is Mode.GLOBAL else jnp.zeros((N,), Score)
+    if mode is Mode.GLOBAL:
+        row0 = _col_bound(mode, sc, jnp.arange(N, dtype=Score))
+        if start_gap:
+            row0 = row0 - sc.gap_open
+    else:
+        row0 = jnp.zeros((N,), Score)
 
     def body(i, carry):
-        H_prev, F_prev, last_col, best = carry
-        col_i = _col_bound(mode, sc, i).astype(Score)
-        col_im1 = _col_bound(mode, sc, i - 1).astype(Score)
+        H_prev, F_prev, last_col, last_col_e, best = carry
+        if start_gap and mode is Mode.GLOBAL:
+            col_i = jnp.int32(NEG)
+            col_im1 = jnp.int32(NEG)
+        else:
+            col_i = _col_bound(mode, sc, i).astype(Score)
+            col_im1 = _col_bound(mode, sc, i - 1).astype(Score)
         H, E, F, _, _ = _affine_row(
             H_prev, F_prev, q[i], s, col_i, col_im1, jge, mode, sc
         )
         last_col = last_col.at[i].set(H[n - 1])
+        if emit_col_e:
+            last_col_e = last_col_e.at[i].set(E[n - 1])
         masked = jnp.where(jmask, H, SCORE_MIN)
         rmax = jnp.max(masked)
         rarg = jnp.argmax(masked)
@@ -91,16 +114,20 @@ def score_rows_affine(q, s, m, n, mode: Mode, sc: AffineScoring):
             jnp.stack([rmax, i.astype(Score), rarg.astype(Score)]),
             best,
         )
-        return H, F, last_col, best
+        return H, F, last_col, last_col_e, best
 
     init = (
         row0,
         jnp.full((N,), NEG, Score),
         jnp.full((M,), SCORE_MIN, Score),
+        jnp.full((M,), NEG, Score),
         jnp.array([SCORE_MIN, -1, -1], Score),
     )
-    H, F, last_col, best = jax.lax.fori_loop(0, m, body, init)
-    return {"last_row": H, "last_col": last_col, "best": best}
+    H, F, last_col, last_col_e, best = jax.lax.fori_loop(0, m, body, init)
+    out = {"last_row": H, "last_col": last_col, "best": best}
+    if emit_col_e:
+        out["last_col_e"] = last_col_e
+    return out
 
 
 @functools.partial(jax.jit, static_argnames=("mode", "sc"))

@@ -242,12 +242,13 @@ def _make_kernel(mode: Mode, sc, emit_col: bool, G: int,
         emask = [flat_iota == edges[g] for g in range(G)]
 
         def fresh_state(g):
+            # Birth places the ENTIRE boundary top row into d1/d2s:
+            # positions > t keep these values (the step update masks
+            # them out) and are consumed exactly when the sweep front
+            # reaches them -- boundary mode sources them from memory,
+            # closed-form mode from the init formula. This removes the
+            # per-step top-value injection from the hot loop.
             if boundary:
-                # Birth places the ENTIRE boundary top row into d1/d2s:
-                # positions > t keep these values (the step update masks
-                # them out) and are consumed exactly when the sweep front
-                # reaches them -- equivalent dataflow to the closed-form
-                # per-step injection, but sourced from memory.
                 tr = row_in_ref[g * R:(g + 1) * R, :]
                 corner = corners_ref[gr * G + g]
                 d1_0 = tr
@@ -255,12 +256,8 @@ def _make_kernel(mode: Mode, sc, emit_col: bool, G: int,
                     flat_iota == 0, corner, _shift_r(tr, lane_iota)
                 )
             else:
-                d1_0 = jnp.where(
-                    flat_iota == 0, topval(j0s[g]), 0
-                ).astype(Score)
-                d2s_0 = jnp.where(
-                    flat_iota == 0, topval(j0s[g] - 1), 0
-                ).astype(Score)
+                d1_0 = topval(j0s[g] + flat_iota).astype(Score)
+                d2s_0 = topval(j0s[g] + flat_iota - 1).astype(Score)
             st = {
                 "d1": d1_0,
                 "d2s": d2s_0,
@@ -317,6 +314,11 @@ def _make_kernel(mode: Mode, sc, emit_col: bool, G: int,
                 sts.append(st)
 
             packs = [None] * G  # block-local 2-bit pred accumulators
+            # Hoisted local-mode column-validity masks (loop-invariant;
+            # per block rather than per kernel to keep them out of the
+            # long-lived register set).
+            jvalid = ([j0s[g] + flat_iota < n for g in range(G)]
+                      if local else None)
             for k in range(U):
                 for g in range(G):
                     t = t0s[g] + k
@@ -362,20 +364,14 @@ def _make_kernel(mode: Mode, sc, emit_col: bool, G: int,
                         if local:
                             T_ = jnp.maximum(T_, 0)
                         new = jnp.maximum(T_, e_new)
+                        # Positions > t keep the birth F boundary row
+                        # (NEG in closed-form mode; consumed when the
+                        # front reaches them).
+                        st["f"] = jnp.where(flat_iota <= t, f_new, st["f"])
                         if boundary:
-                            # Positions > t keep the birth F boundary row
-                            # (consumed when the front reaches them).
-                            st["f"] = jnp.where(
-                                flat_iota <= t, f_new, st["f"]
-                            )
                             st["lastrowf"] = jnp.where(
                                 flat_iota == t - (m - 1), f_new,
                                 st["lastrowf"],
-                            )
-                        else:
-                            # F[-1][.] = -inf at the advancing front.
-                            st["f"] = jnp.where(
-                                flat_iota == t + 1, NEG, f_new
                             )
                         st["e"] = e_new
                         st["colacc_e"] = jnp.where(
@@ -488,23 +484,27 @@ def _make_kernel(mode: Mode, sc, emit_col: bool, G: int,
                                 ).start()
 
                     # Bottom row H[m-1] collects in place at position
-                    # t-(m-1).
-                    st["lastrow"] = jnp.where(
-                        flat_iota == t - (m - 1), new, st["lastrow"]
-                    )
+                    # t-(m-1). Skipped in closed-form local mode: the
+                    # extraction uses only `best` there (boundary mode
+                    # always needs the row -- it feeds the next band).
+                    if not (local and not boundary):
+                        st["lastrow"] = jnp.where(
+                            flat_iota == t - (m - 1), new, st["lastrow"]
+                        )
 
                     if local:
+                        # valid = 0 <= i < m (one unsigned compare on
+                        # i = t - p) AND j < n (hoisted per block).
+                        r_im = t - flat_iota
                         valid = jnp.logical_and(
-                            jnp.logical_and(
-                                flat_iota <= t, flat_iota > t - m
-                            ),
-                            j0s[g] + flat_iota < n,
+                            r_im.astype(jnp.uint32) < m.astype(jnp.uint32),
+                            jvalid[g],
                         )
                         better = jnp.logical_and(
                             valid, new > st["vmax"]
                         )
                         st["vimax"] = jnp.where(
-                            better, t - flat_iota, st["vimax"]
+                            better, r_im, st["vimax"]
                         )
                         st["vmax"] = jnp.where(better, new, st["vmax"])
                     if emit_col:
@@ -531,16 +531,11 @@ def _make_kernel(mode: Mode, sc, emit_col: bool, G: int,
                             def _(ecol=ecol, c_fl=c_fl):
                                 ecol_out_ref[pl.ds(c_fl * R, R), :] = ecol
 
-                    # Top boundary row injection for D_t: position t+1 =
-                    # topval(j0+t+1) (closed-form broadcast select). In
-                    # boundary mode the row values were pre-placed at
-                    # birth; the mask keeps them at positions > t.
-                    if boundary:
-                        st["d1"] = jnp.where(flat_iota <= t, new, d1)
-                    else:
-                        st["d1"] = jnp.where(
-                            flat_iota == t + 1, topval(j0s[g] + t + 1), new
-                        )
+                    # Top boundary row values were pre-placed at birth
+                    # (closed-form or memory-sourced); the mask keeps
+                    # them at positions > t until the front consumes
+                    # them.
+                    st["d1"] = jnp.where(flat_iota <= t, new, d1)
                     st["d2s"] = d1s
                     st["qd"] = qd
                     st["qfeed"] = pltpu.roll(qfeed, LANES - 1, 1)
@@ -660,16 +655,17 @@ def _round_up(x: int, mult: int) -> int:
 
 
 def _bucket(x: int, mult: int) -> int:
-    """Geometric shape bucket (multiples of `mult`, ratio <= 1.25) to
+    """Geometric shape bucket (multiples of `mult`, ratio <= 1.0625) to
     bound the number of compiled variants; the dynamic true length
     drives the sweep, so m-padding costs only VMEM and n-padding at most
-    25% extra windows."""
+    ~6% extra windows (the earlier 1.25 ratio cost 14.7% columns at the
+    100k benchmark shape)."""
     x = _round_up(x, mult)
     base = mult
     while base * 2 < x:
         base *= 2
-    for frac in (4, 5, 6, 7, 8):
-        cand = base * frac // 4
+    for frac in range(17, 33):
+        cand = base * frac // 16
         if cand >= x:
             return _round_up(cand, mult)
     return _round_up(base * 2, mult)
@@ -979,19 +975,22 @@ def score_pair_chained(qp, sp, m, n, mode: Mode, sc,
 
 def _pick_g(m: int, n: int, emit_col: bool, affine: bool = False) -> int:
     """Choose the number of staggered chains: minimize estimated wall
-    time = groups * (T + (G-1)*S) * t_step(G), with t_step(G) ~ 95+5G ns
-    (fitted on TPU v5e). More chains amortize dependency-chain latency;
-    fewer chains cut stagger warmup and window padding. Affine carries
-    ~4 more vregs per chain, so its spill cliff comes earlier."""
+    time = groups * (T + (G-1)*S) * t_step(G), with
+    t_step(G) ~ max(100 + 5G, 14G) ns (re-fit on the real chip, round 2:
+    latency-bound below ~G=10, VPU-issue-bound above). More chains
+    amortize dependency-chain latency; fewer chains cut stagger warmup
+    and window padding. Affine carries ~4 more vregs per chain, so its
+    spill cliff comes earlier."""
     nw = _bucket(n, W) // W
     nrm = -(-m // 128)
     T = 128 * nrm + W + (W if emit_col else 0)
     best_g, best_cost = 1, float("inf")
-    for g in (1, 2, 4, 5) if affine else (1, 2, 4, 5, 8, 10):
+    for g in (1, 2, 4, 5, 8) if affine else (1, 2, 4, 5, 8, 10, 12, 16):
         if g > nw:
             break
         groups = -(-nw // g)
-        cost = groups * (T + (g - 1) * STAGGER) * (95 + 5 * g)
+        cost = groups * (T + (g - 1) * STAGGER) * max(100 + 5 * g,
+                                                      14.7 * g)
         if cost < best_cost:
             best_g, best_cost = g, cost
     return best_g
@@ -1039,7 +1038,9 @@ def score_pair(qp, sp, m, n, mode: Mode, sc,
     qp, sp: int32 arrays (host padding is fine; kernel repads internally).
     Returns the same output dict as xla_linmem.score_rows. When
     ``emit_col`` is False, ``last_col`` is zeros (local mode does not
-    need it). ``H`` is accepted for API compatibility and ignored (the
+    need it). In LOCAL mode ``last_row`` is zeros too: only ``best`` is
+    defined (the bottom-row collection is elided from the hot loop;
+    boundary-mode band calls always emit real rows). ``H`` is accepted for API compatibility and ignored (the
     sweep is continuous; there are no bands). ``G`` overrides the number
     of concurrently staggered windows.
     """
