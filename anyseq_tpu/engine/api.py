@@ -187,8 +187,6 @@ def align(query, subject, mode="global", scoring=LinearScoring(),
 
         return hirschberg.align_hirschberg(query, subject, mode, scoring,
                                            engine, mesh=mesh)
-    if isinstance(scoring, AffineScoring) and traceback == "auto":
-        traceback = "full"  # affine Hirschberg (Myers-Miller) not yet wired
     if traceback == "auto":
         q8, s8 = as_u8(query), as_u8(subject)
         traceback = "full" if len(q8) * len(s8) <= (1 << 22) else "hirschberg"

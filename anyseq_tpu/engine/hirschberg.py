@@ -507,13 +507,20 @@ def _hb_global_affine(q8, s8, off_i, off_j, out_q, out_s, sc, engine,
                 ms[b] = h
                 ns[b] = w
                 sgaps[b] = sg
-            preds, _, _ = batch.preds_batch_affine(
+            preds, cols_h, cols_e = batch.preds_batch_affine(
                 jnp.asarray(qarr), jnp.asarray(sarr),
                 jnp.asarray(ms), jnp.asarray(ns), sc, jnp.asarray(sgaps),
             )
             preds = np.asarray(preds)
+            cols_h = np.asarray(cols_h)
+            cols_e = np.asarray(cols_e)
             for b, (qlo, qhi, slo, shi, sg, eg) in enumerate(chunk):
                 h, w = qhi - qlo, shi - slo
+                if root_score is None and (qhi - qlo, shi - slo) == (m, n):
+                    # The whole problem was one terminal stripe.
+                    root_score = int(
+                        (cols_e if eg else cols_h)[h - 1, b]
+                    )
                 PH, PE, PF = _haloed_affine_preds_mm(
                     preds[b, :h, :w], h, w, sg
                 )
@@ -541,14 +548,16 @@ def _find_end(q8, s8, mode, scoring, engine, mesh=None):
 def align_hirschberg(query, subject, mode, scoring=LinearScoring(),
                      engine="auto", min_width=MIN_WIDTH, mesh=None,
                      sp_min_width=None) -> Alignment:
-    """Linear-memory alignment construction. With ``mesh`` the whole
+    """Linear-memory alignment construction: Hirschberg for linear gap
+    scoring, Myers-Miller for affine (Gotoh). With ``mesh`` the linear
     construction is distributed over the device mesh and bit-identical
     to the single-device result (see :func:`_hb_global`)."""
     mode = Mode.parse(mode)
-    if not isinstance(scoring, LinearScoring):
-        raise ValueError(
-            "align_hirschberg supports linear gap scoring; use "
-            "align(..., traceback='full') for affine (Gotoh) alignments"
+    affine = isinstance(scoring, AffineScoring)
+    if affine and mesh is not None:
+        raise NotImplementedError(
+            "distributed construction supports linear scoring; affine "
+            "Myers-Miller runs single-process"
         )
     q8 = as_u8(query)
     s8 = as_u8(subject)
@@ -556,12 +565,19 @@ def align_hirschberg(query, subject, mode, scoring=LinearScoring(),
     if m == 0 or n == 0:
         raise ValueError("empty sequences are not supported")
 
+    def hb_rect(qr8, sr8, oi, oj):
+        if affine:
+            return _hb_global_affine(qr8, sr8, oi, oj, out_q, out_s,
+                                     scoring, engine, min_width)
+        return _hb_global(qr8, sr8, oi, oj, out_q, out_s, scoring,
+                          engine, min_width, mesh=mesh,
+                          sp_min_width=sp_min_width)
+
     out_q = np.full(m + n, EMPTY_SYM, dtype=np.uint8)
     out_s = np.full(m + n, EMPTY_SYM, dtype=np.uint8)
 
     if mode is Mode.GLOBAL:
-        score = _hb_global(q8, s8, 0, 0, out_q, out_s, scoring, engine,
-                           min_width, mesh=mesh, sp_min_width=sp_min_width)
+        score = hb_rect(q8, s8, 0, 0)
         return Alignment(score, bytes(out_q), bytes(out_s), (0, 0))
 
     # semiglobal / local: endpoint reduction to a global sub-rectangle.
@@ -602,11 +618,16 @@ def align_hirschberg(query, subject, mode, scoring=LinearScoring(),
         if int(lcol[ci]) > rscore:
             rscore = int(lcol[ci])
             ri, rj = ci, nr - 1
-        if mr * scoring.gap > rscore:
-            rscore = mr * scoring.gap
+        def all_gap(L):
+            if affine:
+                return scoring.gap_open + scoring.gap_extend * L
+            return scoring.gap * L
+
+        if all_gap(mr) > rscore:
+            rscore = all_gap(mr)
             ri, rj = mr - 1, -1
-        if nr * scoring.gap > rscore:
-            rscore = nr * scoring.gap
+        if all_gap(nr) > rscore:
+            rscore = all_gap(nr)
             ri, rj = -1, nr - 1
     si = ei - ri
     sj = ej - rj
@@ -616,9 +637,7 @@ def align_hirschberg(query, subject, mode, scoring=LinearScoring(),
     sub_s = s8[sj: ej + 1]
     if len(sub_q) == 0 or len(sub_s) == 0:
         return Alignment(score, bytes(out_q), bytes(out_s), (si, sj))
-    sub_score = _hb_global(sub_q, sub_s, si, sj, out_q, out_s, scoring,
-                           engine, min_width, mesh=mesh,
-                           sp_min_width=sp_min_width)
+    sub_score = hb_rect(sub_q, sub_s, si, sj)
     if not (sub_score == score == rscore):
         raise RuntimeError(
             f"hirschberg endpoint reduction mismatch: fwd={score} "
