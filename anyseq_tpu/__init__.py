@@ -25,6 +25,7 @@ from anyseq_tpu.core.types import (
     Mode,
 )
 from anyseq_tpu.engine.api import align, align_full_tb, align_score
+from anyseq_tpu.engine.batch import align_batch, align_scores_batch
 
 __all__ = [
     "Alignment",
@@ -32,8 +33,10 @@ __all__ = [
     "LinearScoring",
     "Mode",
     "align",
+    "align_batch",
     "align_full_tb",
     "align_score",
+    "align_scores_batch",
 ]
 
 __version__ = "0.1.0"

@@ -83,6 +83,26 @@ def preds_batch_sharded(q, s, ms, ns, sc: LinearScoring, mesh: Mesh):
     return preds[:B], cols[:, :B]
 
 
+def preds_batch_full_sharded(q, s, ms, ns, mode: Mode, sc: LinearScoring,
+                             mesh: Mesh):
+    """dp-sharded :func:`engine.batch.preds_batch_full` (batched
+    construction sweeps for any scheme)."""
+    K = _device_count(mesh)
+    q, s, ms, ns, B = _pad_batch(q, s, ms, ns, K)
+    ax = _axes(mesh)
+    fn = jax.shard_map(
+        lambda q_, s_, ms_, ns_: _batch.preds_batch_full(
+            q_, s_, ms_, ns_, mode, sc
+        ),
+        mesh=mesh,
+        in_specs=(P(ax), P(ax), P(ax), P(ax)),
+        out_specs=(P(ax, None, None), P(ax), P(ax), P(ax)),
+        check_vma=False,
+    )
+    preds, last_row, last_col, best = fn(q, s, ms, ns)
+    return preds[:B], last_row[:B], last_col[:B], best[:B]
+
+
 def align_scores_batch_sharded(queries, subjects, mode="global",
                                scoring=LinearScoring(), mesh: Mesh | None = None,
                                batch_size: int = 4096):

@@ -419,6 +419,189 @@ def preds_batch_affine(q, s, ms, ns, sc, sgap):
     return preds, cols_h, cols_e
 
 
+@functools.partial(jax.jit, static_argnames=("mode", "sc"))
+def preds_batch_full(q, s, ms, ns, mode: Mode, sc: LinearScoring):
+    """Batched analog of xla_linmem.score_rows_with_preds for any scheme:
+    one sweep emits per-pair predecessor matrices plus the outputs needed
+    for score/end extraction.
+
+    Returns (preds (B,M,N) uint8, last_row (B,N), last_col (B,M),
+    best (B,3)); feed each pair's slice to
+    xla_linmem.extract_score_from_outputs. Many-pair construction is a
+    new capability (the reference aligns one pair per process,
+    main.cpp:180-211); the per-part traceback parallelism analog is
+    iteration_cpu.impala:159-173."""
+    from anyseq_tpu.core.types import (
+        PRED_GAP_Q, PRED_GAP_S, PRED_NO_GAP, PRED_NONE,
+    )
+
+    B, M = q.shape
+    N = s.shape[1]
+    g = sc.gap
+    jg = jnp.arange(N, dtype=Score) * g
+    jidx = jnp.arange(N)
+    jmask = jidx[None, :] < ns[:, None]
+
+    def init_col(i):
+        if mode is Mode.GLOBAL:
+            return (i + 1) * g
+        return jnp.zeros_like(i)
+
+    row0 = init_col(jnp.arange(N, dtype=Score))[None, :].repeat(B, 0)
+
+    def body(i, carry):
+        prev, preds, last_col, best, best_pos = carry
+        active = i < ms
+        col_i = init_col(jnp.full((B,), i, Score))
+        col_im1 = init_col(jnp.full((B,), i - 1, Score))
+        diag = jnp.concatenate([col_im1[:, None], prev[:, :-1]], axis=1)
+        qi = jnp.take_along_axis(
+            q, jnp.minimum(i, ms - 1)[:, None].astype(jnp.int32), axis=1
+        )
+        sub = jnp.where(qi == s, sc.match, sc.mismatch).astype(Score)
+        cand = jnp.maximum(diag + sub, prev + g)
+        if mode is Mode.LOCAL:
+            cand = jnp.maximum(cand, 0)
+        run = jnp.maximum(
+            jax.lax.cummax(cand - jg[None, :], axis=1),
+            (col_i + g)[:, None],
+        )
+        row = run + jg[None, :]
+        left = jnp.concatenate([col_i[:, None], row[:, :-1]], axis=1)
+        pred = jnp.where(
+            row == diag + sub,
+            PRED_NO_GAP,
+            jnp.where(
+                row == left + g,
+                PRED_GAP_Q,
+                jnp.where(row == prev + g, PRED_GAP_S, PRED_NONE),
+            ),
+        ).astype(jnp.uint8)
+        row = jnp.where(active[:, None], row, prev)
+        preds = jax.lax.dynamic_update_slice(
+            preds, pred[:, None, :], (0, i, 0)
+        )
+        lc = jnp.take_along_axis(row, (ns - 1)[:, None], axis=1)[:, 0]
+        last_col = jax.lax.dynamic_update_slice(
+            last_col, jnp.where(active, lc, SCORE_MIN)[:, None], (0, i)
+        )
+        masked = jnp.where(jmask, row, SCORE_MIN)
+        rmax = jnp.max(masked, axis=1)
+        rarg = jnp.argmax(masked, axis=1).astype(Score)
+        take = jnp.logical_and(active, rmax > best)
+        best = jnp.where(take, rmax, best)
+        best_pos = jnp.where(
+            take[:, None],
+            jnp.stack([jnp.full((B,), i, Score), rarg], axis=1),
+            best_pos,
+        )
+        return row, preds, last_col, best, best_pos
+
+    init = (
+        row0,
+        jnp.zeros((B, M, N), jnp.uint8),
+        jnp.full((B, M), SCORE_MIN, Score),
+        jnp.full((B,), SCORE_MIN, Score),
+        jnp.full((B, 2), -1, Score),
+    )
+    last_row, preds, last_col, best, best_pos = jax.lax.fori_loop(
+        0, jnp.max(ms), body, init
+    )
+    best3 = jnp.concatenate([best[:, None], best_pos], axis=1)
+    return preds, last_row, last_col, best3
+
+
+def align_batch(queries, subjects, mode="global", scoring=LinearScoring(),
+                batch_size: int = 256, mesh=None):
+    """Construct alignments for many pairs (BASELINE's 10k-pair
+    data-parallel config, now with alignments rather than scores only --
+    VERDICT r1 item 6).
+
+    Returns a list of Alignment in input order. Pairs are bucketed by
+    padded shape and swept in batches (batched pred emission, one
+    native traceback walk per pair). With ``mesh``, each batch sweep is
+    distributed over all devices via an explicit shard_map
+    (dist/batch.py). Affine scoring falls back to per-pair Myers-Miller.
+    """
+    from anyseq_tpu.core.types import (
+        AffineScoring, Alignment, EMPTY_SYM, as_u8,
+    )
+    from anyseq_tpu.engine import api, tb, xla_linmem
+
+    mode = Mode.parse(mode)
+    qs = [as_u8(x) for x in queries]
+    ss = [as_u8(x) for x in subjects]
+    if len(qs) != len(ss):
+        raise ValueError("queries and subjects must have equal length")
+    if isinstance(scoring, AffineScoring):
+        return [api.align(a, b, mode, scoring) for a, b in zip(qs, ss)]
+    out: list = [None] * len(qs)
+
+    buckets: dict[tuple[int, int], list[int]] = {}
+    for idx, (a, b) in enumerate(zip(qs, ss)):
+        if len(a) == 0 or len(b) == 0:
+            raise ValueError("empty sequences are not supported")
+        key = (_bucket(len(a)), _bucket(len(b)))
+        buckets.setdefault(key, []).append(idx)
+
+    for (M, N), idxs in buckets.items():
+        for lo in range(0, len(idxs), batch_size):
+            chunk = idxs[lo: lo + batch_size]
+            B = len(chunk)
+            qarr = np.full((B, M), _PAD_Q, np.int32)
+            sarr = np.full((B, N), _PAD_S, np.int32)
+            ms = np.empty(B, np.int32)
+            ns = np.empty(B, np.int32)
+            for r, i in enumerate(chunk):
+                qarr[r, : len(qs[i])] = qs[i]
+                sarr[r, : len(ss[i])] = ss[i]
+                ms[r] = len(qs[i])
+                ns[r] = len(ss[i])
+            args = (jnp.asarray(qarr), jnp.asarray(sarr),
+                    jnp.asarray(ms), jnp.asarray(ns))
+            if mesh is not None:
+                from anyseq_tpu.dist import batch as dist_batch
+
+                preds, last_row, last_col, best = (
+                    dist_batch.preds_batch_full_sharded(
+                        *args, mode, scoring, mesh
+                    )
+                )
+            else:
+                preds, last_row, last_col, best = preds_batch_full(
+                    *args, mode, scoring
+                )
+            preds = np.asarray(preds)
+            last_row = np.asarray(last_row)
+            last_col = np.asarray(last_col)
+            best = np.asarray(best)
+            for r, i in enumerate(chunk):
+                m_i, n_i = int(ms[r]), int(ns[r])
+                score, end = xla_linmem.extract_score_from_outputs(
+                    {
+                        "last_row": last_row[r],
+                        "last_col": last_col[r],
+                        "best": best[r],
+                    },
+                    m_i, n_i, mode, scoring,
+                )
+                out_q = np.full(m_i + n_i, EMPTY_SYM, dtype=np.uint8)
+                out_s = np.full(m_i + n_i, EMPTY_SYM, dtype=np.uint8)
+                if mode is Mode.LOCAL and score <= 0:
+                    start = (end[0] + 1, end[1] + 1)
+                else:
+                    P = api._haloed_preds(
+                        preds[r, :m_i, :n_i], m_i, n_i, mode
+                    )
+                    start = tb.walk_linear(
+                        qs[i], ss[i], P, end, out_q, out_s
+                    )
+                out[i] = Alignment(
+                    score, bytes(out_q), bytes(out_s), tuple(start)
+                )
+    return out
+
+
 def align_scores_batch(queries, subjects, mode="global",
                        scoring=LinearScoring(), batch_size: int = 512):
     """Score many pairs. queries/subjects: sequences of str/bytes/uint8.

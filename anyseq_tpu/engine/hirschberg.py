@@ -48,6 +48,53 @@ from anyseq_tpu.ref import oracle
 MIN_WIDTH = 256
 
 
+class _HbCheckpoint:
+    """Durable level-granular state for the Hirschberg construction
+    (VERDICT r1 item 7; the reference's Splits vector is morally this
+    state, traceback_lintime.impala:9-42). Each completed level (and each
+    completed terminal chunk) atomically rewrites one npz; a killed run
+    resumes at the last completed unit, producing a byte-identical
+    alignment."""
+
+    def __init__(self, path, key: str):
+        self.path = path
+        self.key = key
+
+    def load(self):
+        import os
+
+        if not self.path or not os.path.exists(self.path):
+            return None
+        ck = np.load(self.path, allow_pickle=False)
+        if str(ck["key"]) != self.key:
+            raise ValueError("checkpoint does not match this problem")
+        return ck
+
+    def save(self, **arrays):
+        import os
+        import tempfile
+
+        if not self.path:
+            return
+        fd, tmp = tempfile.mkstemp(
+            dir=os.path.dirname(os.path.abspath(self.path)) or "."
+        )
+        os.close(fd)
+        np.savez(tmp, key=self.key, **arrays)
+        os.replace(tmp + ".npz" if os.path.exists(tmp + ".npz") else tmp,
+                   self.path)
+
+
+def _ckpt_key(q8, s8, mode, scoring, min_width) -> str:
+    import hashlib
+
+    h = hashlib.sha256()
+    h.update(q8.tobytes())
+    h.update(s8.tobytes())
+    h.update(repr((mode.value, scoring, min_width)).encode())
+    return h.hexdigest()
+
+
 def _score_outputs(q8, s8, mode, scoring, engine, emit_col=True,
                    mesh=None):
     """Run a score pass, returning numpy outputs dict. With ``mesh`` the
@@ -112,7 +159,8 @@ def _merge_halves(L, Rv, h, mid_w, right_w, g):
 
 
 def _hb_global(q8, s8, off_i, off_j, out_q, out_s, scoring, engine,
-               min_width=MIN_WIDTH, mesh=None, sp_min_width=None):
+               min_width=MIN_WIDTH, mesh=None, sp_min_width=None,
+               ckpt=None):
     """Level-synchronous global Hirschberg; returns the global score.
 
     All forward-left and reversed-right halves of one level run as ONE
@@ -161,6 +209,32 @@ def _hb_global(q8, s8, off_i, off_j, out_q, out_s, scoring, engine,
     root_score = None
     active = [(0, m, 0, n)]            # (qlo, qhi, slo, shi)
     terminals = []
+    term_done = 0
+    _RS_NONE = -(2**62)
+
+    if ckpt is not None:
+        ck = ckpt.load()
+        if ck is not None:
+            active = [tuple(map(int, r)) for r in ck["active"].reshape(-1, 4)]
+            terminals = [tuple(map(int, r))
+                         for r in ck["terminals"].reshape(-1, 4)]
+            out_q[:] = ck["out_q"]
+            out_s[:] = ck["out_s"]
+            rs = int(ck["root_score"])
+            root_score = None if rs == _RS_NONE else rs
+            term_done = int(ck["term_done"])
+
+    def _save_level():
+        if ckpt is not None:
+            ckpt.save(
+                active=np.asarray(active, np.int64).reshape(-1, 4),
+                terminals=np.asarray(terminals, np.int64).reshape(-1, 4),
+                out_q=out_q, out_s=out_s,
+                root_score=np.int64(
+                    _RS_NONE if root_score is None else root_score
+                ),
+                term_done=np.int64(term_done),
+            )
 
     def classify(part):
         qlo, qhi, slo, shi = part
@@ -221,6 +295,7 @@ def _hb_global(q8, s8, off_i, off_j, out_q, out_s, scoring, engine,
                     root_score = score
                 classify((qlo, qlo + k + 1, slo, slo + mid))
                 classify((qlo + k + 1, qhi, slo + mid, shi))
+            _save_level()
             continue
 
         if (mesh is None and use_kernel and P <= 4 and min(mids) >= 2048
@@ -255,6 +330,7 @@ def _hb_global(q8, s8, off_i, off_j, out_q, out_s, scoring, engine,
                     root_score = score
                 classify((qlo, qlo + k + 1, slo, slo + mid))
                 classify((qlo + k + 1, qhi, slo + mid, shi))
+            _save_level()
             continue
         Mb = batch._bucket(max(hs))
         Nb = batch._bucket(max(max(mids), max(
@@ -293,16 +369,22 @@ def _hb_global(q8, s8, off_i, off_j, out_q, out_s, scoring, engine,
                 root_score = score
             classify((qlo, qlo + k + 1, slo, slo + mid))
             classify((qlo + k + 1, qhi, slo + mid, shi))
+        _save_level()
 
-    # Terminal stripes, batched by shape bucket.
+    # Terminal stripes, batched by shape bucket (chunk index `ci` is the
+    # checkpoint resume unit).
     groups: dict[tuple[int, int], list] = {}
     for t in terminals:
         h, w = t[1] - t[0], t[3] - t[2]
         groups.setdefault(
             (batch._bucket(h), batch._bucket(w, 128)), []
         ).append(t)
+    ci = -1
     for (Hb, Wb), ts in groups.items():
         for lo in range(0, len(ts), 512):
+            ci += 1
+            if ci < term_done:
+                continue
             chunk = ts[lo: lo + 512]
             B = len(chunk)
             qarr = np.full((B, Hb), batch._PAD_Q, np.int32)
@@ -335,6 +417,8 @@ def _hb_global(q8, s8, off_i, off_j, out_q, out_s, scoring, engine,
                     q8[qlo:qhi], s8[slo:shi], Pm, (h - 1, w - 1),
                     out_q, out_s, off_i + qlo, off_j + slo,
                 )
+            term_done = ci + 1
+            _save_level()
     return root_score
 
 
@@ -547,11 +631,17 @@ def _find_end(q8, s8, mode, scoring, engine, mesh=None):
 
 def align_hirschberg(query, subject, mode, scoring=LinearScoring(),
                      engine="auto", min_width=MIN_WIDTH, mesh=None,
-                     sp_min_width=None) -> Alignment:
+                     sp_min_width=None, checkpoint_path=None) -> Alignment:
     """Linear-memory alignment construction: Hirschberg for linear gap
     scoring, Myers-Miller for affine (Gotoh). With ``mesh`` the linear
     construction is distributed over the device mesh and bit-identical
-    to the single-device result (see :func:`_hb_global`)."""
+    to the single-device result (see :func:`_hb_global`).
+
+    ``checkpoint_path`` (GLOBAL + linear scoring): durable npz updated
+    after every completed divide level and terminal chunk; a killed run
+    re-invoked with the same arguments resumes and produces a
+    byte-identical alignment. A checkpoint from different inputs or
+    parameters is rejected."""
     mode = Mode.parse(mode)
     affine = isinstance(scoring, AffineScoring)
     if affine and mesh is not None:
@@ -564,6 +654,16 @@ def align_hirschberg(query, subject, mode, scoring=LinearScoring(),
     m, n = len(q8), len(s8)
     if m == 0 or n == 0:
         raise ValueError("empty sequences are not supported")
+    ckpt = None
+    if checkpoint_path is not None:
+        if mode is not Mode.GLOBAL or affine:
+            raise NotImplementedError(
+                "construction checkpointing supports global mode with "
+                "linear scoring"
+            )
+        ckpt = _HbCheckpoint(
+            checkpoint_path, _ckpt_key(q8, s8, mode, scoring, min_width)
+        )
 
     def hb_rect(qr8, sr8, oi, oj):
         if affine:
@@ -571,7 +671,7 @@ def align_hirschberg(query, subject, mode, scoring=LinearScoring(),
                                      scoring, engine, min_width)
         return _hb_global(qr8, sr8, oi, oj, out_q, out_s, scoring,
                           engine, min_width, mesh=mesh,
-                          sp_min_width=sp_min_width)
+                          sp_min_width=sp_min_width, ckpt=ckpt)
 
     out_q = np.full(m + n, EMPTY_SYM, dtype=np.uint8)
     out_s = np.full(m + n, EMPTY_SYM, dtype=np.uint8)

@@ -64,3 +64,56 @@ def test_score_batch_rejects_semiglobal():
     ls = jnp.full((2,), 10, jnp.int32)
     with pytest.raises(ValueError, match="SEMIGLOBAL"):
         _score_batch(q, s, ls, ls, Mode.SEMIGLOBAL, SC)
+
+
+@pytest.mark.parametrize("mode", [Mode.GLOBAL, Mode.SEMIGLOBAL, Mode.LOCAL])
+def test_align_batch_matches_oracle(mode):
+    """Batched construction: alignments (not just scores) byte-identical
+    to the oracle for every pair (VERDICT r1 item 6)."""
+    from anyseq_tpu.engine.batch import align_batch
+
+    rng = np.random.default_rng(22)
+    qs = [random_dna(rng, int(rng.integers(30, 250))) for _ in range(9)]
+    ss = [mutate(rng, x) for x in qs]
+    alns = align_batch(qs, ss, mode, SC)
+    for a, q, s in zip(alns, qs, ss):
+        exp_score, exp_q, exp_s, exp_start = oracle.align(q, s, mode, SC)
+        assert a.score == exp_score
+        assert a.query_aligned == bytes(exp_q)
+        assert a.subject_aligned == bytes(exp_s)
+        assert tuple(a.start) == tuple(exp_start)
+
+
+def test_align_batch_sharded_mesh():
+    """dp-sharded batched construction == unsharded, byte for byte."""
+    import jax
+
+    from anyseq_tpu.dist import mesh as meshlib
+    from anyseq_tpu.engine.batch import align_batch
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = meshlib.make_mesh(dp=2, sp=4)
+    rng = np.random.default_rng(23)
+    qs = [random_dna(rng, 120) for _ in range(11)]
+    ss = [mutate(rng, x) for x in qs]
+    ref = align_batch(qs, ss, Mode.LOCAL, SC)
+    got = align_batch(qs, ss, Mode.LOCAL, SC, mesh=mesh)
+    for a, b in zip(ref, got):
+        assert a == b
+
+
+def test_align_batch_affine_fallback():
+    from anyseq_tpu.core.types import AffineScoring
+    from anyseq_tpu.engine.batch import align_batch
+    from anyseq_tpu.ref import oracle_affine
+
+    sc = AffineScoring(2, -1, -3, -1)
+    rng = np.random.default_rng(24)
+    qs = [random_dna(rng, 60) for _ in range(3)]
+    ss = [mutate(rng, x) for x in qs]
+    alns = align_batch(qs, ss, Mode.GLOBAL, sc)
+    for a, q, s in zip(alns, qs, ss):
+        assert a.score == oracle_affine.align_score_affine(
+            q, s, Mode.GLOBAL, sc
+        )

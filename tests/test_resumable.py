@@ -57,3 +57,80 @@ def test_resume_rejects_mismatched_problem(tmp_path):
     sc1.step()
     with pytest.raises(ValueError):
         ResumableScorer.resume(path, q, s + b"A", "global", SC, band_rows=64)
+
+
+def test_hirschberg_construction_checkpoint_resume(tmp_path):
+    """Kill the construction after each possible checkpoint unit (divide
+    level / terminal chunk); resuming must produce a byte-identical
+    alignment (VERDICT r1 item 7)."""
+    import numpy as np
+
+    from anyseq_tpu.engine import hirschberg
+    from anyseq_tpu.core.types import LinearScoring, Mode
+
+    sc = LinearScoring(2, -1, -1)
+    rng = np.random.default_rng(40)
+    from conftest import random_dna, mutate
+
+    q = random_dna(rng, 500)
+    s = mutate(rng, q)
+    clean = hirschberg.align_hirschberg(q, s, Mode.GLOBAL, sc, min_width=64)
+
+    class Killed(Exception):
+        pass
+
+    orig_save = hirschberg._HbCheckpoint.save
+    k = 0
+    while True:
+        path = str(tmp_path / f"hb_{k}.npz")
+        remaining = [k]
+
+        def save_and_die(self, **arrays):
+            orig_save(self, **arrays)
+            if remaining[0] == 0:
+                raise Killed()
+            remaining[0] -= 1
+
+        hirschberg._HbCheckpoint.save = save_and_die
+        try:
+            aln = hirschberg.align_hirschberg(
+                q, s, Mode.GLOBAL, sc, min_width=64, checkpoint_path=path
+            )
+            hirschberg._HbCheckpoint.save = orig_save
+            # run completed before the k-th kill: final resume-free pass
+            assert aln.score == clean.score
+            assert aln.query_aligned == clean.query_aligned
+            break
+        except Killed:
+            pass
+        finally:
+            hirschberg._HbCheckpoint.save = orig_save
+        # resume after the kill
+        aln = hirschberg.align_hirschberg(
+            q, s, Mode.GLOBAL, sc, min_width=64, checkpoint_path=path
+        )
+        assert aln.score == clean.score
+        assert aln.query_aligned == clean.query_aligned
+        assert aln.subject_aligned == clean.subject_aligned
+        assert aln.start == clean.start
+        k += 1
+    assert k >= 2  # at least a couple of kill points existed
+
+
+def test_hirschberg_checkpoint_mismatch_rejected(tmp_path):
+    import numpy as np
+
+    from anyseq_tpu.engine import hirschberg
+    from anyseq_tpu.core.types import LinearScoring, Mode
+    from conftest import random_dna
+
+    sc = LinearScoring(2, -1, -1)
+    rng = np.random.default_rng(41)
+    q = random_dna(rng, 400)
+    s = random_dna(rng, 420)
+    path = str(tmp_path / "hb.npz")
+    hirschberg.align_hirschberg(q, s, Mode.GLOBAL, sc, min_width=64,
+                                checkpoint_path=path)
+    with pytest.raises(ValueError, match="does not match"):
+        hirschberg.align_hirschberg(q, s[:-1], Mode.GLOBAL, sc,
+                                    min_width=64, checkpoint_path=path)
