@@ -106,20 +106,32 @@ def run(quick=False, out=sys.stdout):
     f, cells = score_fn(q, s, Mode.LOCAL, AffineScoring(2, -1, -3, -1))
     emit(f"affine local score {n1b//1000}k", _time(f), cells)
 
+    def _warm_time(fn, reps=2):
+        """Whole-pipeline configs (construction): run once to compile,
+        then report the best warm wall-clock."""
+        fn()
+        return min(
+            (lambda t0: (fn(), time.perf_counter() - t0)[1])(
+                time.perf_counter()
+            )
+            for _ in range(reps)
+        )
+
     # config 2: 10k bp local + full traceback
     n2 = 2000 if quick else 10000
     q, s = _mkpair(rng, n2)
-    t0 = time.perf_counter()
-    aln = anyseq_tpu.align(q, s, "local", sc, traceback="full")
-    emit(f"local fulltb {n2//1000}k", time.perf_counter() - t0,
+    emit(f"local fulltb {n2//1000}k",
+         _warm_time(lambda: anyseq_tpu.align(q, s, "local", sc,
+                                             traceback="full")),
          len(q) * len(s))
 
     # config 3: 100k bp semiglobal + Hirschberg
     n3 = 5000 if quick else 100000
     q, s = _mkpair(rng, n3)
-    t0 = time.perf_counter()
-    aln = anyseq_tpu.align(q, s, "semiglobal", sc, traceback="hirschberg")
-    emit(f"semiglobal hirschberg {n3//1000}k", time.perf_counter() - t0,
+    emit(f"semiglobal hirschberg {n3//1000}k",
+         _warm_time(lambda: anyseq_tpu.align(q, s, "semiglobal", sc,
+                                             traceback="hirschberg"),
+                    reps=1),
          2 * len(q) * len(s))  # ~2x area for lintime sweeps
 
     # config 4: many-pair batch
@@ -133,6 +145,55 @@ def run(quick=False, out=sys.stdout):
     batch_eng.align_scores_batch(qs, ss, "local", sc)
     dt = min(dt, time.perf_counter() - t0)
     emit(f"batch local {npairs}x{plen}bp", dt, npairs * plen * plen)
+
+    # config 4b: many-pair batched CONSTRUCTION (alignments, not scores)
+    nc = 50 if quick else 500
+    emit(f"batch construct {nc}x{plen}bp",
+         _warm_time(lambda: batch_eng.align_batch(qs[:nc], ss[:nc],
+                                                  "local", sc)),
+         nc * plen * plen)
+
+    # config 5: genome-scale score-only (>= 1 Mbp; runs the chained
+    # boundary-mode kernel above M_MAX on TPU). The BASELINE north star
+    # (ecoli x sboydii, ~4.6 Mbp each) is this config at 4.6x the size.
+    if not quick:
+        n5 = 1_000_000
+        q, s = _mkpair(rng, n5)
+        f, cells = score_fn(q, s, Mode.GLOBAL)
+        emit("genome global score 1Mbp", _time(f, reps=2, k=3), cells)
+
+    # config 6: subject-sharded pipelined wavefront on this host's
+    # devices (K = local device count; on the 1-chip bench host this
+    # measures the per-band fill overhead directly), plus the pipeline
+    # model (B bands)/(B + K - 1 supersteps) evaluated with the measured
+    # numbers for the BASELINE 2-host target.
+    if not quick:
+        import jax as _jax
+
+        from anyseq_tpu.dist import mesh as meshlib
+        from anyseq_tpu.dist.sharded import score_pair_sharded
+
+        n6 = 100_000
+        H6 = 8192
+        q, s = _mkpair(rng, n6)
+        K = len(_jax.devices())
+        mesh = meshlib.make_mesh(sp=K, dp=1)
+
+        def f6():
+            return score_pair_sharded(q, s, Mode.GLOBAL, sc, mesh,
+                                      H=H6)["last_col"]
+
+        dt = _time(f6, reps=2, k=3)
+        B = -(-n6 // H6)
+        eff2 = B / (B + 2 - 1)
+        rec = {
+            "config": f"sharded sp wavefront {n6//1000}k (K={K}, H={H6})",
+            "ms": round(dt * 1000, 1),
+            "gcups": round(n6 * n6 / dt / 1e9, 3),
+            "pipeline_eff_model_2hosts": round(eff2, 3),
+        }
+        results.append(rec)
+        print(json.dumps(rec), file=out, flush=True)
 
     # headline summary: peak score-only GCUPS
     peak = max(r["gcups"] for r in results)

@@ -41,7 +41,8 @@ def _timed(name: str, fn, out):
 
 
 def benchmark_alignments(query: bytes, subject: bytes, scoring, out,
-                         fulltb: bool = False, do_print: bool = False):
+                         fulltb: bool = False, do_print: bool = False,
+                         mesh=None):
     """The reference's benchmark_alignments (main.cpp:60-86): three score
     calls then three alignment constructions."""
     import anyseq_tpu
@@ -59,7 +60,8 @@ def benchmark_alignments(query: bytes, subject: bytes, scoring, out,
         aln = _timed(
             f"{mode} alignment",
             lambda m=mode: anyseq_tpu.align(
-                query, subject, m, scoring, traceback=traceback
+                query, subject, m, scoring, traceback=traceback,
+                mesh=None if fulltb else mesh,
             ),
             out,
         )
@@ -97,6 +99,22 @@ def main(argv=None) -> int:
         "-r", "--rand", dest="rand", nargs="*", type=int, metavar="LEN",
         help="generate random input sequences [min len] [max len]",
     )
+    group.add_argument(
+        "-b", "--batch", dest="batch", nargs=2,
+        metavar=("QUERIES", "SUBJECTS"),
+        help="align ALL records of two files pairwise (record i vs "
+             "record i); batched data-parallel engine "
+             "(beyond-reference capability)",
+    )
+    parser.add_argument(
+        "--score-only", action="store_true",
+        help="batch mode: report scores without constructing alignments",
+    )
+    parser.add_argument(
+        "--mesh", action="store_true",
+        help="distribute over all visible devices (batch: dp-sharded "
+             "sweeps; single pair: distributed construction)",
+    )
     parser.add_argument(
         "--mode", choices=["all", "global", "semiglobal", "local"],
         default="all", help="restrict to one alignment scheme",
@@ -121,6 +139,61 @@ def main(argv=None) -> int:
     args = parser.parse_args(argv)
 
     out = sys.stdout
+
+    from anyseq_tpu.core.types import AffineScoring, LinearScoring
+
+    if args.affine is not None:
+        scoring = AffineScoring(args.scores[0], args.scores[1],
+                                args.affine[0], args.affine[1])
+    else:
+        scoring = LinearScoring(*args.scores)
+
+    mesh = None
+    if args.mesh:
+        from anyseq_tpu.dist.mesh import make_mesh
+
+        mesh = make_mesh()
+
+    if args.batch:
+        from anyseq_tpu.io.fasta import make_sequence_reader
+
+        qf, sf = args.batch
+        try:
+            qs = [r.data for r in make_sequence_reader(qf) if r.data]
+            ss = [r.data for r in make_sequence_reader(sf) if r.data]
+        except Exception as e:
+            print(str(e), file=sys.stderr)
+            return 1
+        npairs = min(len(qs), len(ss))
+        if npairs == 0:
+            print("no records", file=sys.stderr)
+            return 1
+        qs, ss = qs[:npairs], ss[:npairs]
+        mode = args.mode if args.mode != "all" else "global"
+        print(f"batch: {npairs} pairs, mode {mode}", file=out)
+        if args.score_only:
+            from anyseq_tpu.dist.batch import align_scores_batch_sharded
+
+            t0 = time.perf_counter()
+            scores = align_scores_batch_sharded(qs, ss, mode, scoring,
+                                                mesh)
+            ms = int(round((time.perf_counter() - t0) * 1000))
+            print(f"testing batch {mode} score {ms} ms", file=out)
+            for i, sc_ in enumerate(scores):
+                print(f"pair {i}: score {int(sc_)}", file=out)
+        else:
+            import anyseq_tpu
+            from anyseq_tpu.io.alignment import print_alignment
+
+            t0 = time.perf_counter()
+            alns = anyseq_tpu.align_batch(qs, ss, mode, scoring, mesh=mesh)
+            ms = int(round((time.perf_counter() - t0) * 1000))
+            print(f"testing batch {mode} alignment {ms} ms", file=out)
+            for i, aln in enumerate(alns):
+                print(f"pair {i}: score {aln.score}", file=out)
+                if args.do_print:
+                    print_alignment(aln, file=out)
+        return 0
 
     if args.files:
         from anyseq_tpu.io.fasta import read_first_sequence
@@ -149,17 +222,10 @@ def main(argv=None) -> int:
 
     print(f"sequence lengths: {len(query)}, {len(subject)}", file=out)
 
-    from anyseq_tpu.core.types import AffineScoring, LinearScoring
-
-    if args.affine is not None:
-        scoring = AffineScoring(args.scores[0], args.scores[1],
-                                args.affine[0], args.affine[1])
-    else:
-        scoring = LinearScoring(*args.scores)
-
+    aln_mesh = mesh if isinstance(scoring, LinearScoring) else None
     if args.mode == "all":
         benchmark_alignments(query, subject, scoring, out,
-                             args.fulltb, args.do_print)
+                             args.fulltb, args.do_print, mesh=aln_mesh)
     else:
         import anyseq_tpu
         from anyseq_tpu.io.alignment import print_alignment
@@ -172,6 +238,7 @@ def main(argv=None) -> int:
             lambda: anyseq_tpu.align(
                 query, subject, args.mode, scoring,
                 traceback="full" if args.fulltb else "auto",
+                mesh=None if args.fulltb else aln_mesh,
             ),
             out,
         )

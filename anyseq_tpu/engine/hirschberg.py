@@ -103,11 +103,13 @@ def _score_outputs(q8, s8, mode, scoring, engine, emit_col=True,
 
     m, n = len(q8), len(s8)
     if mesh is not None:
+        import jax as _jax
+
         from anyseq_tpu.dist.sharded import score_pair_sharded
 
         outs = score_pair_sharded(q8, s8, mode, scoring, mesh,
                                   engine=engine)
-        return {k: np.asarray(v) for k, v in outs.items()}
+        return _jax.device_get(outs)
     _, _, _, _, qp, sp = api._prep(q8, s8)
     use_pallas = False
     if engine in ("auto", "pallas"):
@@ -124,7 +126,9 @@ def _score_outputs(q8, s8, mode, scoring, engine, emit_col=True,
         outs = xla_affine.score_rows_affine(qp, sp, m, n, mode, scoring)
     else:
         outs = xla_linmem.score_rows(qp, sp, m, n, mode, scoring)
-    return {k: np.asarray(v) for k, v in outs.items()}
+    import jax as _jax
+
+    return _jax.device_get(outs)  # one round trip for all outputs
 
 
 def _write_all_gap_subject(s8, off_i, off_j, out_q, out_s):
@@ -270,8 +274,10 @@ def _hb_global(q8, s8, off_i, off_j, out_q, out_s, scoring, engine,
         if mesh is not None and P <= 4 and min(mids) >= sp_min_width:
             # Wide halves: subject-sharded pipelined wavefront per half
             # over the whole mesh; the half's boundary column is the
-            # sweep's last-column output.
-            cols_list = []
+            # sweep's last-column output. Dispatches are async; fetch
+            # everything in ONE device round trip (the tunnel round trip
+            # otherwise dominates the level).
+            cols_dev = []
             for p, (qlo, qhi, slo, shi) in enumerate(parts):
                 h, mid = hs[p], mids[p]
                 for qa, sa in (
@@ -283,7 +289,11 @@ def _hb_global(q8, s8, off_i, off_j, out_q, out_s, scoring, engine,
                         np.ascontiguousarray(sa),
                         Mode.GLOBAL, scoring, mesh, engine=engine,
                     )
-                    cols_list.append(np.asarray(outs["last_col"])[:h])
+                    cols_dev.append(outs["last_col"])
+            import jax as _jax
+
+            cols_list = [c[:hs[i // 2]]
+                         for i, c in enumerate(_jax.device_get(cols_dev))]
             for p, (qlo, qhi, slo, shi) in enumerate(parts):
                 h, mid = hs[p], mids[p]
                 L = cols_list[2 * p].astype(np.int64)
@@ -304,7 +314,7 @@ def _hb_global(q8, s8, off_i, off_j, out_q, out_s, scoring, engine,
             # Pallas wavefront kernel (20-50 GCUPS) instead of the
             # batched XLA row-scan (~2-4 GCUPS). The first two levels
             # are ~75% of total Hirschberg work.
-            cols_list = []
+            cols_dev = []
             for p, (qlo, qhi, slo, shi) in enumerate(parts):
                 h, mid = hs[p], mids[p]
                 for qa, sa in (
@@ -316,9 +326,13 @@ def _hb_global(q8, s8, off_i, off_j, out_q, out_s, scoring, engine,
                         jnp.asarray(np.ascontiguousarray(sa)),
                         len(qa), len(sa), Mode.GLOBAL, scoring,
                     )
-                    cols_list.append(
-                        np.asarray(outs["last_col"])[:h]
-                    )
+                    cols_dev.append(outs["last_col"])
+            # one fetch for the whole level (async dispatches pipeline;
+            # per-array np.asarray would pay a tunnel round trip each)
+            import jax as _jax
+
+            cols_list = [c[:hs[i // 2]]
+                         for i, c in enumerate(_jax.device_get(cols_dev))]
             for p, (qlo, qhi, slo, shi) in enumerate(parts):
                 h, mid = hs[p], mids[p]
                 L = cols_list[2 * p].astype(np.int64)

@@ -109,3 +109,36 @@ def test_cli_bad_lengths(capsys):
 
     rc = cli.main(["-r", "0", "5"])
     assert rc == 1
+
+
+def test_cli_batch_mode(tmp_path, capsys):
+    from anyseq_tpu import cli
+    from anyseq_tpu.ref import oracle
+    from anyseq_tpu.core.types import LinearScoring
+
+    q = tmp_path / "q.fna"
+    s = tmp_path / "s.fna"
+    q.write_text(">a\nGATTACA\n>b\nACGTACGT\n")
+    s.write_text(">a\nGATTTACA\n>b\nACGAACGT\n")
+    rc = cli.main(["-b", str(q), str(s), "--mode", "global"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    sc = LinearScoring(2, -1, -1)
+    e0 = oracle.align_score(b"GATTACA", b"GATTTACA", "global", sc)
+    e1 = oracle.align_score(b"ACGTACGT", b"ACGAACGT", "global", sc)
+    assert f"pair 0: score {e0}" in out
+    assert f"pair 1: score {e1}" in out
+
+
+def test_cli_batch_score_only(tmp_path, capsys):
+    from anyseq_tpu import cli
+
+    q = tmp_path / "q.fna"
+    s = tmp_path / "s.fna"
+    q.write_text(">a\nGATTACA\n")
+    s.write_text(">a\nGATTACA\n")
+    rc = cli.main(["-b", str(q), str(s), "--mode", "global",
+                   "--score-only"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "pair 0: score 14" in out
