@@ -531,12 +531,53 @@ def _hb_global_affine(q8, s8, off_i, off_j, out_q, out_s, sc, engine,
 
     classify((0, m, 0, n, sgap, egap))
 
+    from anyseq_tpu.kernels import band
+
+    use_kernel = engine in ("auto", "pallas") and band.available()
+
     while active:
         parts = active
         active = []
         P = len(parts)
         hs = [p[1] - p[0] for p in parts]
         mids = [(p[3] - p[2]) // 2 for p in parts]
+
+        if (use_kernel and P <= 4 and min(mids) >= 2048
+                and max(hs) <= band.M_MAX):
+            # Shallow levels through the wavefront kernel (H and E
+            # last columns; start_gap per crossing-state flag).
+            outs_dev = []
+            for p, (qlo, qhi, slo, shi, sg, eg) in enumerate(parts):
+                h, mid = hs[p], mids[p]
+                for (qa, sa, fl) in (
+                    (q32[qlo:qhi], s32[slo:slo + mid], sg),
+                    (q32[qlo:qhi][::-1], s32[slo + mid:shi][::-1], eg),
+                ):
+                    outs = band.score_pair(
+                        jnp.asarray(np.ascontiguousarray(qa)),
+                        jnp.asarray(np.ascontiguousarray(sa)),
+                        len(qa), len(sa), Mode.GLOBAL, sc,
+                        start_gap=bool(fl),
+                    )
+                    outs_dev.append((outs["last_col"],
+                                     outs["last_col_e"]))
+            import jax as _jax
+
+            cols_host = _jax.device_get(outs_dev)
+            for p, (qlo, qhi, slo, shi, sg, eg) in enumerate(parts):
+                h, mid = hs[p], mids[p]
+                HL, EL = cols_host[2 * p]
+                HR, ER = cols_host[2 * p + 1]
+                k, in_gap, score = _merge_halves_affine(
+                    HL[:h].astype(np.int64), EL[:h].astype(np.int64),
+                    HR[:h].astype(np.int64), ER[:h].astype(np.int64),
+                    h, mid, shi - slo - mid, sc, sg, eg,
+                )
+                if root_score is None:
+                    root_score = score
+                classify((qlo, qlo + k + 1, slo, slo + mid, sg, in_gap))
+                classify((qlo + k + 1, qhi, slo + mid, shi, in_gap, eg))
+            continue
 
         Mb = batch._bucket(max(hs))
         Nb = batch._bucket(max(max(mids), max(

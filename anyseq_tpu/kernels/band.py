@@ -126,7 +126,7 @@ def _rot_l(x, lane_iota):
 
 def _make_kernel(mode: Mode, sc, emit_col: bool, G: int,
                  emit_preds: bool = False, p_pl: int = 0,
-                 boundary: bool = False):
+                 boundary: bool = False, start_gap: bool = False):
     """Build the wavefront kernel body.
 
     ``boundary=False``: closed-form DP boundary (the top row / left column
@@ -155,13 +155,20 @@ def _make_kernel(mode: Mode, sc, emit_col: bool, G: int,
     else:
         gap = sc.gap
 
+    if start_gap and not (affine and is_global):
+        raise ValueError("start_gap is an affine GLOBAL (Myers-Miller) "
+                         "subproblem flag")
+
     def topval(j):
         """Boundary row cell(-1, j) (j may be negative: the corner
         chain), closed form (align.impala:85-90; affine: Gotoh init as
-        in engine/xla_affine._col_bound)."""
+        in engine/xla_affine._col_bound; start_gap: the Myers-Miller
+        continuing-run init -- no gap_open, unreachable corner)."""
         if not is_global:
             return j * 0
         if affine:
+            if start_gap:
+                return jnp.where(j < 0, NEG, (j + 1) * ge)
             return jnp.where(j < 0, 0, go + (j + 1) * ge)
         return (j + 1) * gap
 
@@ -170,6 +177,8 @@ def _make_kernel(mode: Mode, sc, emit_col: bool, G: int,
         if not is_global:
             return 0
         if affine:
+            if start_gap:
+                return NEG
             return go + (t + 1) * ge
         return (t + 1) * gap
 
@@ -185,6 +194,7 @@ def _make_kernel(mode: Mode, sc, emit_col: bool, G: int,
         cole_in_ref = rest.pop(0) if (boundary and affine) else None
         row_out_ref = rest.pop(0)
         ecol_out_ref = rest.pop(0)
+        ecole_out_ref = rest.pop(0) if (affine and emit_col) else None
         best_out_ref = rest.pop(0)
         col_out_ref = rest.pop(0) if boundary else None
         cole_out_ref = rest.pop(0) if (boundary and affine) else None
@@ -279,6 +289,8 @@ def _make_kernel(mode: Mode, sc, emit_col: bool, G: int,
                 st["e"] = jnp.full((R, LANES), NEG, Score)
                 st["colfeed_e"] = zrow
                 st["colacc_e"] = zrow
+                if emit_col:
+                    st["ecole"] = zero8
             return st
 
         def block(b, carry):
@@ -511,14 +523,20 @@ def _make_kernel(mode: Mode, sc, emit_col: bool, G: int,
                         # Rotating last-column collector (edge window
                         # only consumes it; updates are unconditional --
                         # they ride free issue slots off the critical
-                        # chain).
+                        # chain). Affine also collects the E column (the
+                        # Myers-Miller merge needs E[i][n-1]).
                         ecol = jnp.where(emask[g], new,
                                          _rot_l(st["ecol"], lane_iota))
                         st["ecol"] = ecol
+                        if affine:
+                            ecole = jnp.where(
+                                emask[g], st["e"],
+                                _rot_l(st["ecole"], lane_iota),
+                            )
+                            st["ecole"] = ecole
                         if k == 14:
                             c_fl = jax.lax.div(t + 2 - W, W)
-
-                            @pl.when(jnp.logical_and(
+                            flush_col = jnp.logical_and(
                                 jnp.logical_and(
                                     jax.lax.rem(t + 2, W) == 0,
                                     is_edge[g],
@@ -527,9 +545,18 @@ def _make_kernel(mode: Mode, sc, emit_col: bool, G: int,
                                     c_fl >= 0,
                                     c_fl < ecol_out_ref.shape[0] // R,
                                 ),
-                            ))
+                            )
+
+                            @pl.when(flush_col)
                             def _(ecol=ecol, c_fl=c_fl):
                                 ecol_out_ref[pl.ds(c_fl * R, R), :] = ecol
+
+                            if affine:
+                                @pl.when(flush_col)
+                                def _(ecole=ecole, c_fl=c_fl):
+                                    ecole_out_ref[
+                                        pl.ds(c_fl * R, R), :
+                                    ] = ecole
 
                     # Top boundary row values were pre-placed at birth
                     # (closed-form or memory-sourced); the mask keeps
@@ -674,35 +701,41 @@ def _bucket(x: int, mult: int) -> int:
 @functools.partial(
     jax.jit,
     static_argnames=("mode", "sc", "emit_col", "interpret", "G",
-                     "emit_preds"),
+                     "emit_preds", "start_gap"),
 )
 def _score_padded(q2, s2, m, n, mode: Mode, sc: LinearScoring,
                   emit_col: bool = True, interpret: bool = False,
-                  G: int = DEFAULT_G, emit_preds: bool = False):
+                  G: int = DEFAULT_G, emit_preds: bool = False,
+                  start_gap: bool = False):
     M_pad = q2.shape[0] * LANES
     N_pad = s2.shape[0] * LANES
     num_groups = N_pad // (G * W)
     num_windows = N_pad // W
     MR = M_pad // LANES
+    affine = isinstance(sc, AffineScoring)
     # ecol staging: one (R,128) chunk per W steps of the edge sweep.
     stage_rows = (_round_up(M_pad + 2 * W, W) // W) * R
     # packed preds: one int32 word plane (R,128) per 16 diagonal steps.
     p_pl = (M_pad + 2 * W) // 16
 
-    kernel = _make_kernel(mode, sc, emit_col, G, emit_preds, p_pl)
+    kernel = _make_kernel(mode, sc, emit_col, G, emit_preds, p_pl,
+                          start_gap=start_gap)
     dims = jnp.stack([m, n]).astype(jnp.int32)
 
     out_shape = [
         jax.ShapeDtypeStruct((N_pad // LANES, LANES), Score),
         jax.ShapeDtypeStruct((stage_rows, LANES), Score),
-        jax.ShapeDtypeStruct((4,), jnp.int32),
     ]
     out_specs = [
         pl.BlockSpec((G * R, LANES), lambda gr: (gr, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec(memory_space=pltpu.VMEM),  # ecol staging, whole
-        pl.BlockSpec(memory_space=pltpu.SMEM),
     ]
+    if affine and emit_col:
+        out_shape.append(jax.ShapeDtypeStruct((stage_rows, LANES), Score))
+        out_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+    out_shape.append(jax.ShapeDtypeStruct((4,), jnp.int32))
+    out_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
     scratch = [pltpu.VMEM((MR, LANES), Score)]   # colbuf (H boundary)
     if isinstance(sc, AffineScoring):
         scratch.append(pltpu.VMEM((MR, LANES), Score))  # E boundary
@@ -731,7 +764,11 @@ def _score_padded(q2, s2, m, n, mode: Mode, sc: LinearScoring,
         scratch_shapes=scratch,
         interpret=interpret,
     )(dims, q2, s2)
-    row_out, ecol_stage, best = outs[0], outs[1], outs[2]
+    outs = list(outs)
+    row_out = outs.pop(0)
+    ecol_stage = outs.pop(0)
+    ecole_stage = outs.pop(0) if (affine and emit_col) else None
+    best = outs.pop(0)
 
     if emit_col:
         last_col = _unrotate_ecol(ecol_stage, MR, m, n)
@@ -743,8 +780,10 @@ def _score_padded(q2, s2, m, n, mode: Mode, sc: LinearScoring,
         "last_col": last_col,
         "best": best[:3],
     }
+    if affine and emit_col:
+        res["last_col_e"] = _unrotate_ecol(ecole_stage, MR, m, n)
     if emit_preds:
-        res["packed_preds"] = outs[3]
+        res["packed_preds"] = outs.pop(0)
         res["p_pl"] = p_pl
     return res
 
@@ -806,12 +845,19 @@ def _score_band_padded(q2, s2, row2, col2, corners, m, n, mode: Mode, sc,
     out_shape = [
         jax.ShapeDtypeStruct((N_pad // LANES, LANES), Score),  # row_out
         jax.ShapeDtypeStruct((stage_rows, LANES), Score),      # ecol stage
-        jax.ShapeDtypeStruct((4,), jnp.int32),                 # best
-        jax.ShapeDtypeStruct((MR, LANES), Score),              # col_out
     ]
     out_specs = [
         blocked(),
         pl.BlockSpec(memory_space=pltpu.VMEM),
+    ]
+    if affine and emit_col:
+        out_shape.append(jax.ShapeDtypeStruct((stage_rows, LANES), Score))
+        out_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+    out_shape += [
+        jax.ShapeDtypeStruct((4,), jnp.int32),                 # best
+        jax.ShapeDtypeStruct((MR, LANES), Score),              # col_out
+    ]
+    out_specs += [
         pl.BlockSpec(memory_space=pltpu.SMEM),
         pl.BlockSpec(memory_space=pltpu.VMEM),
     ]
@@ -837,7 +883,7 @@ def _score_band_padded(q2, s2, row2, col2, corners, m, n, mode: Mode, sc,
             pltpu.SemaphoreType.DMA((G, 2)),
         ]
 
-    outs = pl.pallas_call(
+    outs = list(pl.pallas_call(
         kernel,
         grid=(num_groups,),
         in_specs=in_specs,
@@ -845,8 +891,12 @@ def _score_band_padded(q2, s2, row2, col2, corners, m, n, mode: Mode, sc,
         out_shape=out_shape,
         scratch_shapes=scratch,
         interpret=interpret,
-    )(*inputs)
-    row_out, ecol_stage, best, col_out = outs[0], outs[1], outs[2], outs[3]
+    )(*inputs))
+    row_out = outs.pop(0)
+    ecol_stage = outs.pop(0)
+    ecole_stage = outs.pop(0) if (affine and emit_col) else None
+    best = outs.pop(0)
+    col_out = outs.pop(0)
 
     if emit_col:
         last_col = _unrotate_ecol(ecol_stage, MR, m, n)
@@ -859,11 +909,13 @@ def _score_band_padded(q2, s2, row2, col2, corners, m, n, mode: Mode, sc,
         "best": best[:3],
         "col_out": col_out.reshape(-1),
     }
+    if affine and emit_col:
+        res["last_col_e"] = _unrotate_ecol(ecole_stage, MR, m, n)
     if affine:
-        res["col_out_e"] = outs[4].reshape(-1)
-        res["last_row_f"] = outs[5].reshape(-1)
+        res["col_out_e"] = outs.pop(0).reshape(-1)
+        res["last_row_f"] = outs.pop(0).reshape(-1)
     if emit_preds:
-        res["packed_preds"] = outs[-1]
+        res["packed_preds"] = outs.pop(0)
         res["p_pl"] = p_pl
     return res
 
@@ -1029,7 +1081,7 @@ def unpack_preds_host(packed, p_pl: int, m: int, n: int):
 def score_pair(qp, sp, m, n, mode: Mode, sc,
                H: int | None = None, interpret: bool = False,
                emit_col: bool | None = None, G: int | None = None,
-               emit_preds: bool = False):
+               emit_preds: bool = False, start_gap: bool = False):
     """Score-only linear-memory DP via the Pallas wavefront kernel.
 
     ``sc`` may be LinearScoring or AffineScoring (real 3-matrix Gotoh,
@@ -1048,10 +1100,10 @@ def score_pair(qp, sp, m, n, mode: Mode, sc,
     m_i = int(m)
     n_i = int(n)
     if m_i > M_MAX:
-        if emit_preds:
+        if emit_preds or start_gap:
             raise ValueError(
-                f"packed pred emission supports m <= {M_MAX}; use the "
-                "Hirschberg path for taller constructions"
+                f"packed pred emission / start_gap support m <= {M_MAX}; "
+                "use the Hirschberg path for taller constructions"
             )
         # Arbitrary heights: chain boundary-mode band sweeps.
         return score_pair_chained(qp, sp, m_i, n_i, mode, sc,
@@ -1073,4 +1125,4 @@ def score_pair(qp, sp, m, n, mode: Mode, sc,
 
     return _score_padded(q2, s2, jnp.int32(m_i), jnp.int32(n_i),
                          mode, sc, emit_col, interpret, G,
-                         emit_preds=emit_preds)
+                         emit_preds=emit_preds, start_gap=start_gap)
