@@ -126,7 +126,8 @@ def _rot_l(x, lane_iota):
 
 def _make_kernel(mode: Mode, sc, emit_col: bool, G: int,
                  emit_preds: bool = False, p_pl: int = 0,
-                 boundary: bool = False, start_gap: bool = False):
+                 boundary: bool = False, start_gap: bool = False,
+                 collective_axis: str | None = None):
     """Build the wavefront kernel body.
 
     ``boundary=False``: closed-form DP boundary (the top row / left column
@@ -140,6 +141,17 @@ def _make_kernel(mode: Mode, sc, emit_col: bool, G: int,
     vectors (scoring.impala:218-259): chaining bands lifts the M_MAX
     VMEM cap, and feeding columns from a neighbor chip turns it into the
     sharded stripe wavefront.
+
+    ``collective_axis`` (requires boundary, linear scoring): the stripe
+    wavefront becomes a single persistent collective kernel per chip.
+    The stripe's FIRST window consumes left-boundary column rows as they
+    ARRIVE from the left neighbor over ICI (semaphore wait per 128-row
+    chunk), and the stripe's LAST window streams its right-edge column
+    rows to the right neighbor with ``pltpu.make_async_remote_copy`` as
+    they are produced -- the in-kernel halo exchange of SURVEY.md
+    section 5.8 (no host-orchestrated supersteps; chips overlap at
+    128-row granularity). The device chain is open (chip 0 uses the
+    closed-form column input; the last chip does not send).
     """
     local = mode is Mode.LOCAL
     is_global = mode is Mode.GLOBAL
@@ -158,6 +170,11 @@ def _make_kernel(mode: Mode, sc, emit_col: bool, G: int,
     if start_gap and not (affine and is_global):
         raise ValueError("start_gap is an affine GLOBAL (Myers-Miller) "
                          "subproblem flag")
+    if collective_axis and (not boundary or affine or emit_preds):
+        raise NotImplementedError(
+            "collective halo exchange requires boundary mode with "
+            "linear scoring and no pred emission"
+        )
 
     def topval(j):
         """Boundary row cell(-1, j) (j may be negative: the corner
@@ -206,18 +223,62 @@ def _make_kernel(mode: Mode, sc, emit_col: bool, G: int,
         if emit_preds:
             packstage_s = rest.pop(0)
             pack_sem = rest.pop(0)
+        if collective_axis:
+            recv_sem = rest.pop(0)
+            send_sem = rest.pop(0)
         gr = pl.program_id(0)
         m = dims_ref[0]
         n = dims_ref[1]
         mr_rows = q_ref.shape[0]          # M_pad // 128 (static)
         nrm = jax.lax.div(m + 127, 128)   # used colbuf rows (dynamic)
 
+        if collective_axis:
+            k_idx = jax.lax.axis_index(collective_axis)
+            K_ax = jax.lax.axis_size(collective_axis)
+
+            def _row_rdma(row):
+                """One 128-row boundary-column chunk to the right
+                neighbor's colbuf (same buffer, SPMD)."""
+                return pltpu.make_async_remote_copy(
+                    src_ref=colbuf_s.at[pl.ds(row, 1), :],
+                    dst_ref=colbuf_s.at[pl.ds(row, 1), :],
+                    send_sem=send_sem,
+                    recv_sem=recv_sem,
+                    device_id=(jnp.where(k_idx + 1 < K_ax, k_idx + 1, 0),),
+                )
+
+            @pl.when(gr == 0)
+            def _():
+                # Neighbor barrier before any RDMA traffic (buffers of
+                # both endpoints must be live).
+                bsem = pltpu.get_barrier_semaphore()
+
+                @pl.when(k_idx > 0)
+                def _():
+                    pltpu.semaphore_signal(bsem, 1, device_id=(k_idx - 1,))
+
+                @pl.when(k_idx < K_ax - 1)
+                def _():
+                    pltpu.semaphore_signal(bsem, 1, device_id=(k_idx + 1,))
+
+                expected = (
+                    jnp.where(k_idx > 0, 1, 0)
+                    + jnp.where(k_idx < K_ax - 1, 1, 0)
+                )
+                pltpu.semaphore_wait(bsem, expected)
+
         if boundary:
             # Stage the input left column into the rolling column scratch
             # before any window reads it (program order; windows then
             # overwrite it row-by-row with their right edges, each read
-            # preceding the overwrite by the stagger discipline).
-            @pl.when(gr == 0)
+            # preceding the overwrite by the stagger discipline). In
+            # collective mode only chip 0 stages (the others' rows
+            # arrive from the left neighbor over ICI).
+            stage_ok = gr == 0
+            if collective_axis:
+                stage_ok = jnp.logical_and(stage_ok, k_idx == 0)
+
+            @pl.when(stage_ok)
             def _():
                 colbuf_s[:, :] = col_in_ref[:, :]
                 if affine:
@@ -310,8 +371,27 @@ def _make_kernel(mode: Mode, sc, emit_col: bool, G: int,
                 # Chunk reloads every 128 steps (row = t/128, clamped;
                 # values are only consumed while 0 <= t < m).
                 t0c = jnp.maximum(t0, 0)
-                fresh = jax.lax.rem(t0c, 128) == 0
+                if collective_axis:
+                    # No speculative pre-birth reads: arriving RDMA rows
+                    # must not race with discarded loads.
+                    fresh = jnp.logical_and(
+                        t0 >= 0, jax.lax.rem(t0c, 128) == 0
+                    )
+                else:
+                    fresh = jax.lax.rem(t0c, 128) == 0
                 crow = jnp.minimum(jax.lax.div(t0c, 128), mr_rows - 1)
+                if collective_axis and g == 0:
+                    # The stripe's first window consumes the left
+                    # neighbor's boundary column: block until chunk
+                    # `crow` has arrived (one wait per 128 rows).
+                    @pl.when(jnp.logical_and(
+                        jnp.logical_and(fresh, gr == 0),
+                        jnp.logical_and(
+                            k_idx > 0, jax.lax.div(t0c, 128) < nrm
+                        ),
+                    ))
+                    def _(crow=crow):
+                        _row_rdma(crow).wait_recv()
                 st["qfeed"] = jnp.where(
                     fresh, q_ref[pl.ds(crow, 1), :], st["qfeed"]
                 )
@@ -425,6 +505,27 @@ def _make_kernel(mode: Mode, sc, emit_col: bool, G: int,
                             @pl.when(flush_ok)
                             def _(ca=st["colacc_e"], r_fl=r_fl):
                                 colbuf_e_s[pl.ds(r_fl, 1), :] = ca
+
+                        if collective_axis and g == G - 1:
+                            # Stripe's last window: stream the freshly
+                            # flushed right-edge row to the right
+                            # neighbor (one outstanding send; drain the
+                            # previous one first).
+                            send_ok = jnp.logical_and(
+                                flush_ok,
+                                jnp.logical_and(
+                                    gr == pl.num_programs(0) - 1,
+                                    k_idx < K_ax - 1,
+                                ),
+                            )
+
+                            @pl.when(jnp.logical_and(send_ok, r_fl >= 1))
+                            def _(r_fl=r_fl):
+                                _row_rdma(r_fl - 1).wait_send()
+
+                            @pl.when(send_ok)
+                            def _(r_fl=r_fl):
+                                _row_rdma(r_fl).start()
 
                     if emit_preds:
                         # 2-bit predecessor code, priority diag > gap_q >
@@ -647,6 +748,11 @@ def _make_kernel(mode: Mode, sc, emit_col: bool, G: int,
             best_out_ref[1] = smem_s[1]
             best_out_ref[2] = smem_s[2]
             best_out_ref[3] = 0
+            if collective_axis:
+                # Drain the final outstanding send.
+                @pl.when(jnp.logical_and(k_idx < K_ax - 1, nrm >= 1))
+                def _():
+                    _row_rdma(nrm - 1).wait_send()
             if boundary:
                 # After the final window, colbuf holds the band's right
                 # boundary column (the last window's right edge).
@@ -791,12 +897,13 @@ def _score_padded(q2, s2, m, n, mode: Mode, sc: LinearScoring,
 @functools.partial(
     jax.jit,
     static_argnames=("mode", "sc", "emit_col", "interpret", "G",
-                     "emit_preds"),
+                     "emit_preds", "collective_axis"),
 )
 def _score_band_padded(q2, s2, row2, col2, corners, m, n, mode: Mode, sc,
-                       emit_col: bool = True, interpret: bool = False,
+                       emit_col: bool = True, interpret=False,
                        G: int = DEFAULT_G, emit_preds: bool = False,
-                       rowf2=None, cole2=None):
+                       rowf2=None, cole2=None,
+                       collective_axis: str | None = None):
     """Boundary-mode kernel call: relax a band of ``m`` query rows whose
     top row / left column state is given explicitly.
 
@@ -820,7 +927,7 @@ def _score_band_padded(q2, s2, row2, col2, corners, m, n, mode: Mode, sc,
     p_pl = (M_pad + 2 * W) // 16
 
     kernel = _make_kernel(mode, sc, emit_col, G, emit_preds, p_pl,
-                          boundary=True)
+                          boundary=True, collective_axis=collective_axis)
     dims = jnp.stack([m, n]).astype(jnp.int32)
 
     blocked = lambda: pl.BlockSpec((G * R, LANES), lambda gr: (gr, 0),
@@ -882,6 +989,17 @@ def _score_band_padded(q2, s2, row2, col2, corners, m, n, mode: Mode, sc,
             pltpu.VMEM((G * 128, LANES), jnp.int32),
             pltpu.SemaphoreType.DMA((G, 2)),
         ]
+    kwargs = {}
+    if collective_axis:
+        scratch += [
+            pltpu.SemaphoreType.DMA(()),   # recv (halo arrivals)
+            pltpu.SemaphoreType.DMA(()),   # send
+        ]
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            has_side_effects=True, collective_id=7,
+        )
+    if interpret == "tpu":
+        interpret = pltpu.InterpretParams()
 
     outs = list(pl.pallas_call(
         kernel,
@@ -891,6 +1009,7 @@ def _score_band_padded(q2, s2, row2, col2, corners, m, n, mode: Mode, sc,
         out_shape=out_shape,
         scratch_shapes=scratch,
         interpret=interpret,
+        **kwargs,
     )(*inputs))
     row_out = outs.pop(0)
     ecol_stage = outs.pop(0)

@@ -1,0 +1,68 @@
+"""In-kernel collective halo exchange (dist/collective.py) parity tests.
+
+Runs the persistent collective stripe kernel under the CPU TPU
+interpreter (pltpu.InterpretParams simulates per-device memory, RDMA
+delivery, and DMA/barrier semaphores) on a virtual device mesh and
+checks scores against the O(m*n) oracle. This is the TPU-native analog
+of the reference's boundary column vectors (scoring.impala:218-259)
+exchanged between chips over ICI instead of between blocks in memory.
+"""
+import jax
+import numpy as np
+import pytest
+from jax.sharding import Mesh
+
+from anyseq_tpu.core.types import LinearScoring, Mode
+from anyseq_tpu.dist.collective import score_pair_collective
+from anyseq_tpu.engine.xla_linmem import extract_score_from_outputs
+from anyseq_tpu.ref.oracle import align_score
+
+LIN = LinearScoring(2, -1, -1)
+
+
+def _mesh(k):
+    return Mesh(np.array(jax.devices()[:k]), ("sp",))
+
+
+def _seqs(rng, m, n):
+    q = rng.integers(0, 4, m, dtype=np.uint8) + np.uint8(ord("A"))
+    s = rng.integers(0, 4, n, dtype=np.uint8) + np.uint8(ord("A"))
+    return q, s
+
+
+@pytest.mark.parametrize("mode", [Mode.GLOBAL, Mode.LOCAL])
+def test_collective_2dev_oracle(rng, mode):
+    # m=300 spans 3 boundary-column chunks (128-row RDMA granularity);
+    # LOCAL additionally covers the post-kernel all_gather best-merge
+    # (regression: eager shard_map deadlocked the interpreter there).
+    q, s = _seqs(rng, 300, 700)
+    outs = score_pair_collective(q, s, mode, LIN, _mesh(2),
+                                 interpret="tpu")
+    got, _ = extract_score_from_outputs(outs, 300, 700, mode, LIN)
+    assert got == align_score(q, s, mode, LIN)
+
+
+def test_collective_4dev_semiglobal(rng):
+    # 4-hop chain: chip k's left column arrives from chip k-1 in 128-row
+    # chunks; semiglobal exercises the psum'd E-column extraction.
+    q, s = _seqs(rng, 200, 1100)
+    outs = score_pair_collective(q, s, Mode.SEMIGLOBAL, LIN, _mesh(4),
+                                 interpret="tpu")
+    got, _ = extract_score_from_outputs(outs, 200, 1100,
+                                        Mode.SEMIGLOBAL, LIN)
+    assert got == align_score(q, s, Mode.SEMIGLOBAL, LIN)
+
+
+def test_collective_matches_superstep_path(rng):
+    """Bit-identical outputs contract vs dist.sharded (same last_row)."""
+    from anyseq_tpu.dist.sharded import score_pair_sharded
+
+    q, s = _seqs(rng, 150, 600)
+    outs_c = score_pair_collective(q, s, Mode.GLOBAL, LIN, _mesh(2),
+                                   interpret="tpu")
+    mesh = Mesh(np.array(jax.devices()[:2]).reshape(1, 2), ("dp", "sp"))
+    outs_s = score_pair_sharded(bytes(q), bytes(s), Mode.GLOBAL, LIN,
+                                mesh, H=64)
+    n = 600
+    assert np.array_equal(np.asarray(outs_c["last_row"])[:n],
+                          np.asarray(outs_s["last_row"])[:n])
