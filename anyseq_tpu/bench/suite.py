@@ -134,6 +134,62 @@ def run(quick=False, out=sys.stdout):
                     reps=1),
          2 * len(q) * len(s))  # ~2x area for lintime sweeps
 
+    # config 3b: construction-level crossover probe -- one Hirschberg
+    # divide level (P parts, half-width mid at the KERNEL_MIN_MID
+    # boundary) timed both ways: per-half kernel dispatch vs the batched
+    # XLA row-scan. Justifies engine/hirschberg.KERNEL_MIN_MID /
+    # KERNEL_MAX_PARTS with a measured number (VERDICT r2 item 4).
+    if not quick and on_tpu:
+        import jax as _jax
+        import jax.numpy as jnp
+
+        from anyseq_tpu.engine import batch as _batch
+        from anyseq_tpu.engine.hirschberg import KERNEL_MIN_MID
+        from anyseq_tpu.kernels import band as _band
+
+        P, h, mid = 16, 4096, KERNEL_MIN_MID
+        halves = [_mkpair(rng, max(h, mid)) for _ in range(2 * P)]
+        qs32 = [np.frombuffer(a, np.uint8)[:h].astype(np.int32)
+                for a, _ in halves]
+        ss32 = [np.frombuffer(b, np.uint8)[:mid].astype(np.int32)
+                for _, b in halves]
+
+        def f_kernel():
+            outs = [
+                _band.score_pair(jnp.asarray(qa), jnp.asarray(sa),
+                                 h, mid, Mode.GLOBAL, sc)["last_col"]
+                for qa, sa in zip(qs32, ss32)
+            ]
+            return outs[-1]
+
+        qarr = np.full((2 * P, _batch._bucket(h)), _batch._PAD_Q,
+                       np.int32)
+        sarr = np.full((2 * P, _batch._bucket(mid, 128)), _batch._PAD_S,
+                       np.int32)
+        for i in range(2 * P):
+            qarr[i, :h] = qs32[i]
+            sarr[i, :mid] = ss32[i]
+        ms_ = np.full(2 * P, h, np.int32)
+        ns_ = np.full(2 * P, mid, np.int32)
+
+        def f_batch():
+            return _batch.last_cols_batch(
+                jnp.asarray(qarr), jnp.asarray(sarr), jnp.asarray(ms_),
+                jnp.asarray(ns_), sc)
+
+        cells = 2 * P * h * mid
+        t_k = _time(f_kernel, reps=2, k=3)
+        t_b = _time(f_batch, reps=2, k=3)
+        rec = {
+            "config": f"construction crossover {P}x({h}x{mid})",
+            "kernel_ms": round(t_k * 1000, 1),
+            "xla_batch_ms": round(t_b * 1000, 1),
+            "gcups": round(cells / min(t_k, t_b) / 1e9, 3),
+            "kernel_speedup": round(t_b / t_k, 2),
+        }
+        results.append(rec)
+        print(json.dumps(rec), file=out, flush=True)
+
     # config 4: many-pair batch
     npairs = 100 if quick else 2000
     plen = 256
@@ -162,6 +218,19 @@ def run(quick=False, out=sys.stdout):
         f, cells = score_fn(q, s, Mode.GLOBAL)
         emit("genome global score 1Mbp", _time(f, reps=2, k=3), cells)
 
+    # config 5b: genome-scale CONSTRUCTION (full Hirschberg alignment at
+    # 1 Mbp -- the BASELINE ecoli x sboydii workload class end-to-end;
+    # every divide level >= KERNEL_MIN_MID runs on the kernel path,
+    # chaining bands above M_MAX).
+    if not quick:
+        n5b = 1_000_000
+        q5, s5 = _mkpair(rng, n5b)
+        emit("genome global hirschberg 1Mbp",
+             _warm_time(lambda: anyseq_tpu.align(q5, s5, "global", sc,
+                                                 traceback="hirschberg"),
+                        reps=1),
+             2 * n5b * n5b)
+
     # config 6: subject-sharded pipelined wavefront on this host's
     # devices (K = local device count; on the 1-chip bench host this
     # measures the per-band fill overhead directly), plus the pipeline
@@ -181,7 +250,8 @@ def run(quick=False, out=sys.stdout):
 
         def f6():
             return score_pair_sharded(q, s, Mode.GLOBAL, sc, mesh,
-                                      H=H6)["last_col"]
+                                      H=H6, engine="pallas"
+                                      if on_tpu else "xla")["last_col"]
 
         dt = _time(f6, reps=2, k=3)
         B = -(-n6 // H6)
@@ -191,6 +261,55 @@ def run(quick=False, out=sys.stdout):
             "ms": round(dt * 1000, 1),
             "gcups": round(n6 * n6 / dt / 1e9, 3),
             "pipeline_eff_model_2hosts": round(eff2, 3),
+        }
+        results.append(rec)
+        print(json.dumps(rec), file=out, flush=True)
+
+    # config 6b: MEASURED sharding overhead at K = this host's devices
+    # (VERDICT r2 item 8: measure, don't model). Times the same 100k
+    # global score three ways at equal shapes -- single-chip kernel,
+    # host-orchestrated superstep (ppermute per band), and the in-kernel
+    # collective halo-exchange engine -- and reports each engine's
+    # overhead relative to the unsharded kernel. On the 1-chip bench
+    # host this isolates the per-engine dispatch/fill overhead exactly
+    # (no communication), which is the additive term of the 2-host
+    # pipeline model next to it.
+    if not quick and on_tpu:
+        import jax as _jax
+
+        from anyseq_tpu.dist import mesh as meshlib
+        from anyseq_tpu.dist.collective import score_pair_collective
+        from anyseq_tpu.dist.sharded import score_pair_sharded
+        from jax.sharding import Mesh as _Mesh
+
+        n6 = 100_000
+        q, s = _mkpair(rng, n6)
+        K = len(_jax.devices())
+        mesh2 = meshlib.make_mesh(sp=K, dp=1)
+        mesh1d = _Mesh(np.array(_jax.devices()), ("sp",))
+
+        fs, _ = score_fn(q, s, Mode.GLOBAL)
+        t_single = _time(fs, reps=2, k=3)
+
+        def f_super():
+            return score_pair_sharded(q, s, Mode.GLOBAL, sc, mesh2,
+                                      H=8192, engine="pallas")["last_col"]
+
+        t_super = _time(f_super, reps=2, k=3)
+
+        def f_coll():
+            return score_pair_collective(q, s, Mode.GLOBAL, sc,
+                                         mesh1d)["last_col"]
+
+        t_coll = _time(f_coll, reps=2, k=3)
+        rec = {
+            "config": f"sharded overhead {n6//1000}k (K={K})",
+            "single_ms": round(t_single * 1000, 1),
+            "superstep_ms": round(t_super * 1000, 1),
+            "collective_ms": round(t_coll * 1000, 1),
+            "gcups": round(n6 * n6 / t_coll / 1e9, 3),
+            "measured_overhead_superstep": round(t_super / t_single - 1, 3),
+            "measured_overhead_collective": round(t_coll / t_single - 1, 3),
         }
         results.append(rec)
         print(json.dumps(rec), file=out, flush=True)

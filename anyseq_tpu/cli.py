@@ -222,7 +222,7 @@ def main(argv=None) -> int:
 
     print(f"sequence lengths: {len(query)}, {len(subject)}", file=out)
 
-    aln_mesh = mesh if isinstance(scoring, LinearScoring) else None
+    aln_mesh = mesh  # affine distributed construction supported (r3)
     if args.mode == "all":
         benchmark_alignments(query, subject, scoring, out,
                              args.fulltb, args.do_print, mesh=aln_mesh)

@@ -9,7 +9,8 @@ there is no cross-device communication (the pairs are independent), so
 scaling is embarrassingly linear.
 
 Used stand-alone for large score batches and by the distributed Hirschberg
-construction (dist/construct.py) for level sweeps and terminal stripes.
+construction (engine/hirschberg.py, ``mesh=``) for level sweeps and
+terminal stripes.
 """
 from __future__ import annotations
 
@@ -81,6 +82,54 @@ def preds_batch_sharded(q, s, ms, ns, sc: LinearScoring, mesh: Mesh):
     )
     preds, cols = fn(q, s, ms, ns)
     return preds[:B], cols[:, :B]
+
+
+def _pad_flags(flags, K):
+    B = flags.shape[0]
+    Bp = -(-B // K) * K
+    if Bp == B:
+        return flags
+    return jnp.concatenate([flags, jnp.zeros((Bp - B,), flags.dtype)])
+
+
+def last_cols_batch_affine_sharded(q, s, ms, ns, sc, sgaps, mesh: Mesh):
+    """dp-sharded :func:`engine.batch.last_cols_batch_affine`: (M, B) H
+    and E boundary columns for the distributed Myers-Miller levels."""
+    K = _device_count(mesh)
+    sgaps = _pad_flags(sgaps, K)
+    q, s, ms, ns, B = _pad_batch(q, s, ms, ns, K)
+    ax = _axes(mesh)
+    fn = jax.shard_map(
+        lambda q_, s_, ms_, ns_, sg_: _batch.last_cols_batch_affine(
+            q_, s_, ms_, ns_, sc, sg_
+        ),
+        mesh=mesh,
+        in_specs=(P(ax), P(ax), P(ax), P(ax), P(ax)),
+        out_specs=(P(None, ax), P(None, ax)),
+        check_vma=False,
+    )
+    cols_h, cols_e = fn(q, s, ms, ns, sgaps)
+    return cols_h[:, :B], cols_e[:, :B]
+
+
+def preds_batch_affine_sharded(q, s, ms, ns, sc, sgaps, mesh: Mesh):
+    """dp-sharded :func:`engine.batch.preds_batch_affine` (terminal
+    Myers-Miller stripes)."""
+    K = _device_count(mesh)
+    sgaps = _pad_flags(sgaps, K)
+    q, s, ms, ns, B = _pad_batch(q, s, ms, ns, K)
+    ax = _axes(mesh)
+    fn = jax.shard_map(
+        lambda q_, s_, ms_, ns_, sg_: _batch.preds_batch_affine(
+            q_, s_, ms_, ns_, sc, sg_
+        ),
+        mesh=mesh,
+        in_specs=(P(ax), P(ax), P(ax), P(ax), P(ax)),
+        out_specs=(P(ax, None, None), P(None, ax), P(None, ax)),
+        check_vma=False,
+    )
+    preds, cols_h, cols_e = fn(q, s, ms, ns, sgaps)
+    return preds[:B], cols_h[:, :B], cols_e[:, :B]
 
 
 def preds_batch_full_sharded(q, s, ms, ns, mode: Mode, sc: LinearScoring,

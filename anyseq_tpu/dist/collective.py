@@ -2,10 +2,10 @@
 
 The host-orchestrated path (dist/sharded.py) runs one kernel per band per
 superstep and exchanges boundary columns with ``jax.lax.ppermute``. This
-module runs ONE persistent Pallas kernel per chip for the whole stripe:
-the stripe's first window blocks on a DMA semaphore until each 128-row
-left-boundary chunk ARRIVES from the left neighbor, and the stripe's last
-window streams its right-edge chunks to the right neighbor with
+module runs ONE persistent Pallas kernel per chip per band: the stripe's
+first window blocks on a DMA semaphore until each 128-row left-boundary
+chunk ARRIVES from the left neighbor, and the stripe's last window streams
+its right-edge chunks to the right neighbor with
 ``pltpu.make_async_remote_copy`` as they are produced. Chips overlap at
 128-row granularity with no host round trips -- the in-kernel halo
 exchange named by SURVEY.md section 5.8 / the native-code ledger
@@ -13,13 +13,25 @@ exchange named by SURVEY.md section 5.8 / the native-code ledger
 column vectors (scoring.impala:218-259).
 
 Pipeline fill is 128 rows per hop (vs H=4096+ per hop for the superstep
-path), so chips reach concurrent steady state ~30x sooner.
+path), so chips reach concurrent steady state ~30x sooner; the suite's
+``sharded_overhead`` config records the measured K=1 comparison.
+
+This is the DEFAULT distributed engine: ``dist.sharded.score_pair_sharded``
+(and through it ``align(mesh=)`` and the distributed Hirschberg wide-level
+phase) routes to it automatically for linear scoring on a 1-D mesh, the
+same way the reference's one fast inner loop serves every execution shape
+(iteration_acc.impala:30-83 vs :87-172).
+
+Heights above ``kernels.band.M_MAX`` chain band sweeps INSIDE the stripe:
+each band is one collective kernel launch; the band's bottom row stays
+chip-local and the band corner rides a scalar ppermute between launches.
 
 Correctness is validated on the CPU TPU-interpreter
 (pltpu.InterpretParams), which simulates per-device memory, RDMA delivery
 and semaphores.
 
-Limits (v1): linear scoring, m <= kernels.band.M_MAX, 1-D mesh axis.
+Limits: linear scoring (affine goes through the superstep path), 1-D mesh
+axis (2-D meshes are rejected -- route the dp axis via dist/batch.py).
 """
 from __future__ import annotations
 
@@ -36,9 +48,17 @@ def _round_up(x, m):
     return (x + m - 1) // m * m
 
 
+def supports(mesh: Mesh, axis: str, sc, mode=None) -> bool:
+    """True when the collective engine can run this configuration."""
+    return (isinstance(sc, LinearScoring)
+            and len(mesh.axis_names) == 1
+            and mesh.axis_names[0] == axis)
+
+
 def score_pair_collective(query, subject, mode, sc: LinearScoring,
                           mesh: Mesh, axis: str = "sp",
-                          interpret=False, G: int | None = None):
+                          interpret=False, G: int | None = None,
+                          band_rows: int | None = None):
     """Distributed score-only alignment of one pair via the collective
     halo-exchange kernel. Same outputs contract as
     dist.sharded.score_pair_sharded (bit-identical results)."""
@@ -49,95 +69,136 @@ def score_pair_collective(query, subject, mode, sc: LinearScoring,
         raise NotImplementedError("collective path supports linear scoring")
     if len(mesh.axis_names) != 1 or mesh.axis_names[0] != axis:
         raise ValueError(
-            f"collective path needs a 1-D mesh over axis {axis!r}"
+            f"collective path needs a 1-D mesh over axis {axis!r}; "
+            "use dist.sharded (superstep) or dist.batch (dp) for 2-D "
+            "meshes"
         )
     q8 = as_u8(query)
     s8 = as_u8(subject)
     m, n = len(q8), len(s8)
     if m == 0 or n == 0:
         raise ValueError("empty sequences are not supported")
-    if m > band.M_MAX:
-        raise ValueError(
-            f"collective path supports m <= {band.M_MAX}; use the "
-            "superstep path (dist.sharded) for taller problems"
-        )
     K = mesh.shape[axis]
+
+    # Band geometry: one collective kernel launch per band; a single
+    # band covers the whole height when it fits the VMEM column scratch.
+    # Pass ``band_rows`` explicitly to force chaining (testing).
+    if band_rows is None:
+        band_rows = m if m <= band.M_MAX else band.M_BAND
+    if band_rows >= m:
+        M_pad = band._bucket(m, band.W)
+        if M_pad - m < band.LANES:
+            M_pad = _round_up(m + band.LANES, band.W)
+        band_rows = M_pad
+        num_bands = 1
+    else:
+        band_rows = _round_up(band_rows, band.LANES)
+        M_pad = band_rows
+        num_bands = -(-m // band_rows)
+
     if G is None:
-        G = band._pick_g(m, _round_up(max(n, 1), band.W * K) // K,
+        G = band._pick_g(min(m, band_rows),
+                         _round_up(max(n, 1), band.W * K) // K,
                          emit_col=True)
     Nl = _round_up(max(n, 1), band.W * G * K) // K
     N_pad = Nl * K
-    M_pad = band._bucket(m, band.W)
     MR = M_pad // band.LANES
 
-    q = jnp.zeros((M_pad,), jnp.int32).at[:m].set(q8.astype(np.int32))
-    s = jnp.full((N_pad,), 255, jnp.int32).at[:n].set(s8.astype(np.int32))
+    M_total = (num_bands - 1) * band_rows + M_pad
+    q = band._fit_padded(q8.astype(np.int32), M_total, m,
+                         band.PAD_Q).reshape(-1)
+    s = band._fit_padded(s8.astype(np.int32), N_pad, n,
+                         band.PAD_S).reshape(-1)
     jarr = jnp.arange(N_pad, dtype=Score)
     iarr = jnp.arange(M_pad, dtype=Score)
     if mode is Mode.GLOBAL:
         row0 = (jarr + 1) * sc.gap
-        col0 = (iarr + 1) * sc.gap
     else:
         row0 = jnp.zeros_like(jarr)
-        col0 = jnp.zeros_like(iarr)
 
     shard = NamedSharding(mesh, P(axis))
     s_sh = jax.device_put(s, shard)
     row0_sh = jax.device_put(row0, shard)
     nw = Nl // band.W
 
-    def run(q_full, s_loc, row_loc, col_first):
+    def run(q_full, s_loc, row_loc):
         k = jax.lax.axis_index(axis)
         j0 = k * Nl
-        if mode is Mode.GLOBAL:
-            corner0 = (j0 * sc.gap).astype(Score)
-        else:
-            corner0 = jnp.int32(0)
-        corners = band._band_corners(row_loc, corner0, nw)
-        n_loc = jnp.clip(n - j0, 0, Nl)
+        right = [(i, (i + 1) % K) for i in range(K)]
 
-        outs = band._score_band_padded(
-            q_full.reshape(MR, band.LANES),
-            s_loc.reshape(-1, band.LANES),
-            row_loc.reshape(-1, band.LANES),
-            col_first.reshape(-1, band.LANES),
-            corners, jnp.int32(m), n_loc, mode, sc,
-            emit_col=True, interpret=interpret, G=G,
-            collective_axis=axis,
-        )
-        row_out = outs["last_row"][:Nl]
-        ecol = outs["last_col"][:M_pad]
+        row = row_loc
+        ecols = []
+        best_all = jnp.array([SCORE_MIN, -1, -1], Score)
+        corner_msg = jnp.int32(0)  # ppermuted band corner (b > 0)
+        for b in range(num_bands):
+            i0 = b * band_rows
+            h = min(band_rows, m - i0)
+            q_band = jax.lax.dynamic_slice(
+                q_full, (i0,), (M_pad,)
+            ) if num_bands > 1 else q_full
+            # Band corner H[i0-1][j0-1]: closed form for band 0 and for
+            # chip 0 (its j0-1 = -1 boundary); otherwise the ppermuted
+            # bottom-row edge of the left neighbor's previous band.
+            if mode is Mode.GLOBAL:
+                cf_corner = (jnp.int32(j0 * sc.gap) if b == 0
+                             else jnp.int32(i0 * sc.gap))
+                corner0 = (cf_corner if b == 0 else
+                           jnp.where(k == 0, cf_corner, corner_msg))
+                col0 = ((i0 + iarr + 1) * sc.gap).astype(Score)
+            else:
+                corner0 = (jnp.int32(0) if b == 0 else
+                           jnp.where(k == 0, jnp.int32(0), corner_msg))
+                col0 = jnp.zeros((M_pad,), Score)
+            corners = band._band_corners(row, corner0, nw)
+            n_loc = jnp.clip(n - j0, 0, Nl)
+
+            outs = band._score_band_padded(
+                q_band.reshape(MR, band.LANES),
+                s_loc.reshape(-1, band.LANES),
+                row.reshape(-1, band.LANES),
+                col0.reshape(-1, band.LANES),
+                corners, jnp.int32(h), n_loc, mode, sc,
+                emit_col=True, interpret=interpret, G=G,
+                collective_axis=axis,
+            )
+            row = outs["last_row"][:Nl]
+            ecols.append(outs["last_col"][:h])
+            if mode is Mode.LOCAL:
+                bb = outs["best"]
+                valid = bb[0] > SCORE_MIN
+                bb = jnp.where(
+                    valid,
+                    jnp.stack([bb[0], bb[1] + i0, bb[2] + j0]),
+                    jnp.array([SCORE_MIN, -1, -1], Score),
+                )
+                better = jnp.logical_or(
+                    bb[0] > best_all[0],
+                    jnp.logical_and(
+                        bb[0] == best_all[0],
+                        jnp.logical_or(
+                            bb[1] < best_all[1],
+                            jnp.logical_and(bb[1] == best_all[1],
+                                            bb[2] < best_all[2]),
+                        ),
+                    ),
+                )
+                best_all = jnp.where(better, bb, best_all)
+            if b + 1 < num_bands:
+                # Next band's corner: left neighbor's bottom-row edge.
+                corner_msg = jax.lax.ppermute(row[Nl - 1], axis, right)
+
+        ecol = jnp.concatenate(ecols) if num_bands > 1 else ecols[0]
+        ecol = jnp.pad(ecol, (0, M_total - ecol.shape[0]))
         owns = jnp.logical_and(j0 <= n - 1, n - 1 < j0 + Nl)
         ecol = jnp.where(owns, ecol, 0)
         ecol_all = jax.lax.psum(ecol, axis)
 
-        best = outs["best"]
+        best = best_all
         if mode is Mode.LOCAL:
-            valid = best[0] > SCORE_MIN
-            best = jnp.where(
-                valid,
-                jnp.stack([best[0], best[1], best[2] + j0]),
-                jnp.array([SCORE_MIN, -1, -1], Score),
-            )
-            bests = jax.lax.all_gather(best, axis)  # (K, 3)
+            from anyseq_tpu.dist.mesh import lex_best_merge
 
-            def merge(a, b):
-                better = jnp.logical_or(
-                    b[0] > a[0],
-                    jnp.logical_and(
-                        b[0] == a[0],
-                        jnp.logical_or(
-                            b[1] < a[1],
-                            jnp.logical_and(b[1] == a[1], b[2] < a[2]),
-                        ),
-                    ),
-                )
-                return jnp.where(better, b, a)
-
-            best = jax.lax.fori_loop(
-                1, K, lambda i, acc: merge(acc, bests[i]), bests[0]
-            )
-        return row_out, ecol_all, best
+            best = lex_best_merge(best, axis, K)
+        return row, ecol_all, best
 
     # jit the whole shard_map: eager shard_map dispatches each inner
     # primitive separately, and under the TPU interpreter the store
@@ -146,9 +207,9 @@ def score_pair_collective(query, subject, mode, sc: LinearScoring,
     row_out, ecol, best = jax.jit(jax.shard_map(
         run,
         mesh=mesh,
-        in_specs=(P(), P(axis), P(axis), P()),
+        in_specs=(P(), P(axis), P(axis)),
         out_specs=(P(axis), P(), P()),
         check_vma=False,
-    ))(q, s_sh, row0_sh, col0)
+    ))(q, s_sh, row0_sh)
 
     return {"last_row": row_out, "last_col": ecol, "best": best}

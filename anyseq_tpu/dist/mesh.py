@@ -43,6 +43,33 @@ def make_mesh(sp: int | None = None, dp: int | None = None) -> Mesh:
     return Mesh(devices.reshape(dp, sp), ("dp", "sp"))
 
 
+def lex_best_merge(best, axis: str, K: int):
+    """Merge per-chip LOCAL-mode (score, i, j) bests across mesh axis
+    ``axis`` with the reference's strict-> argmax tie-breaking: highest
+    score, then smallest i, then smallest j (utils.impala:38-48). Must be
+    called inside a shard_map over ``axis``; ``best`` is (3,) int32."""
+    import jax.numpy as jnp
+
+    bests = jax.lax.all_gather(best, axis)  # (K, 3)
+
+    def merge(a, b):
+        better = jnp.logical_or(
+            b[0] > a[0],
+            jnp.logical_and(
+                b[0] == a[0],
+                jnp.logical_or(
+                    b[1] < a[1],
+                    jnp.logical_and(b[1] == a[1], b[2] < a[2]),
+                ),
+            ),
+        )
+        return jnp.where(better, b, a)
+
+    return jax.lax.fori_loop(
+        1, K, lambda i, acc: merge(acc, bests[i]), bests[0]
+    )
+
+
 def pair_sharding(mesh: Mesh) -> NamedSharding:
     """Shard the leading (pairs) dimension across the dp axis."""
     return NamedSharding(mesh, P("dp"))

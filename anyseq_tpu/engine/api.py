@@ -179,10 +179,6 @@ def align(query, subject, mode="global", scoring=LinearScoring(),
     """
     mode = Mode.parse(mode)
     if mesh is not None:
-        if isinstance(scoring, AffineScoring):
-            raise NotImplementedError(
-                "distributed construction supports linear scoring"
-            )
         from anyseq_tpu.engine import hirschberg
 
         return hirschberg.align_hirschberg(query, subject, mode, scoring,

@@ -47,6 +47,15 @@ from anyseq_tpu.ref import oracle
 # wider stripe since the engines vectorize over 128-lane windows anyway).
 MIN_WIDTH = 256
 
+# Kernel-shortcut gates for divide levels: run each half through the
+# Pallas wavefront kernel (dispatched per half, fetched once per level)
+# while the level has at most KERNEL_MAX_PARTS parts of half-width >=
+# KERNEL_MIN_MID; deeper levels fall back to the batched XLA sweep.
+# Crossover measured on TPU v5e (bench/suite.py "construction_crossover"):
+# per-half dispatch beats the batched row-scan down to ~1k-wide halves.
+KERNEL_MAX_PARTS = 32
+KERNEL_MIN_MID = 1024
+
 
 class _HbCheckpoint:
     """Durable level-granular state for the Hirschberg construction
@@ -308,12 +317,15 @@ def _hb_global(q8, s8, off_i, off_j, out_q, out_s, scoring, engine,
             _save_level()
             continue
 
-        if (mesh is None and use_kernel and P <= 4 and min(mids) >= 2048
-                and max(hs) <= band.M_MAX):
-            # Shallow levels: few, wide halves -- run each through the
-            # Pallas wavefront kernel (20-50 GCUPS) instead of the
-            # batched XLA row-scan (~2-4 GCUPS). The first two levels
-            # are ~75% of total Hirschberg work.
+        if (mesh is None and use_kernel and P <= KERNEL_MAX_PARTS
+                and min(mids) >= KERNEL_MIN_MID):
+            # Shallow/mid levels: run each half through the Pallas
+            # wavefront kernel (20-60 GCUPS) instead of the batched XLA
+            # row-scan (~2-4 GCUPS). The first two levels are ~75% of
+            # total Hirschberg work. Halves taller than band.M_MAX
+            # chain boundary-mode band sweeps transparently
+            # (band.score_pair_chained), so genome-scale constructions
+            # stay on the kernel path.
             cols_dev = []
             for p, (qlo, qhi, slo, shi) in enumerate(parts):
                 h, mid = hs[p], mids[p]
@@ -489,12 +501,19 @@ def _haloed_affine_preds_mm(packed, h, w, sgap):
 
 
 def _hb_global_affine(q8, s8, off_i, off_j, out_q, out_s, sc, engine,
-                      min_width=MIN_WIDTH, sgap=False, egap=False):
+                      min_width=MIN_WIDTH, sgap=False, egap=False,
+                      ckpt=None, mesh=None, sp_min_width=None):
     """Linear-memory affine (Gotoh) alignment construction: the
     Myers-Miller divide-and-conquer. Level-synchronous like
     :func:`_hb_global`; parts carry (start-in-gap, end-in-gap) flags so
     horizontal gap runs crossing a cut are charged exactly one gap_open
     (engine passes: batch.last_cols_batch_affine / preds_batch_affine).
+
+    With ``mesh``, wide levels run subject-sharded over the device mesh
+    (full Gotoh state in the superstep messages, incl. the start_gap
+    continuing-run init per crossing flag) and deep levels / terminal
+    stripes run data-parallel -- bit-identical to the single-device
+    result.
 
     Beyond-reference capability (the reference's affine scoring is dead
     code, align.impala:153-166 / SURVEY.md Q3); returns the true global
@@ -517,6 +536,8 @@ def _hb_global_affine(q8, s8, off_i, off_j, out_q, out_s, sc, engine,
     root_score = None
     active = []
     terminals = []
+    term_done = 0
+    _RS_NONE = -(2**62)
 
     def classify(part):
         qlo, qhi, slo, shi, sg, eg = part
@@ -531,9 +552,43 @@ def _hb_global_affine(q8, s8, off_i, off_j, out_q, out_s, sc, engine,
 
     classify((0, m, 0, n, sgap, egap))
 
+    if ckpt is not None:
+        ck = ckpt.load()
+        if ck is not None:
+            active = [tuple(map(int, r))
+                      for r in ck["active"].reshape(-1, 6)]
+            terminals = [tuple(map(int, r))
+                         for r in ck["terminals"].reshape(-1, 6)]
+            out_q[:] = ck["out_q"]
+            out_s[:] = ck["out_s"]
+            rs = int(ck["root_score"])
+            root_score = None if rs == _RS_NONE else rs
+            term_done = int(ck["term_done"])
+
+    def _save_level():
+        if ckpt is not None:
+            ckpt.save(
+                active=np.asarray(active, np.int64).reshape(-1, 6),
+                terminals=np.asarray(terminals, np.int64).reshape(-1, 6),
+                out_q=out_q, out_s=out_s,
+                root_score=np.int64(
+                    _RS_NONE if root_score is None else root_score
+                ),
+                term_done=np.int64(term_done),
+            )
+
     from anyseq_tpu.kernels import band
 
     use_kernel = engine in ("auto", "pallas") and band.available()
+    if mesh is not None:
+        import math
+
+        from anyseq_tpu.dist import batch as dist_batch
+        from anyseq_tpu.dist.sharded import score_pair_sharded
+
+        n_dev = math.prod(mesh.shape.values())
+        if sp_min_width is None:
+            sp_min_width = 2048 * n_dev
 
     while active:
         parts = active
@@ -542,10 +597,50 @@ def _hb_global_affine(q8, s8, off_i, off_j, out_q, out_s, sc, engine,
         hs = [p[1] - p[0] for p in parts]
         mids = [(p[3] - p[2]) // 2 for p in parts]
 
-        if (use_kernel and P <= 4 and min(mids) >= 2048
-                and max(hs) <= band.M_MAX):
-            # Shallow levels through the wavefront kernel (H and E
-            # last columns; start_gap per crossing-state flag).
+        if mesh is not None and P <= 4 and min(mids) >= sp_min_width:
+            # Wide halves: subject-sharded Gotoh wavefront per half over
+            # the whole mesh (H and E last columns; start_gap per
+            # crossing flag); one fetch per level.
+            cols_dev = []
+            for p, (qlo, qhi, slo, shi, sg, eg) in enumerate(parts):
+                h, mid = hs[p], mids[p]
+                for (qa, sa, fl) in (
+                    (q8[qlo:qhi], s8[slo:slo + mid], sg),
+                    (q8[qlo:qhi][::-1], s8[slo + mid:shi][::-1], eg),
+                ):
+                    outs = score_pair_sharded(
+                        np.ascontiguousarray(qa),
+                        np.ascontiguousarray(sa),
+                        Mode.GLOBAL, sc, mesh, engine=engine,
+                        start_gap=bool(fl),
+                    )
+                    cols_dev.append((outs["last_col"],
+                                     outs["last_col_e"]))
+            import jax as _jax
+
+            cols_host = _jax.device_get(cols_dev)
+            for p, (qlo, qhi, slo, shi, sg, eg) in enumerate(parts):
+                h, mid = hs[p], mids[p]
+                HL, EL = cols_host[2 * p]
+                HR, ER = cols_host[2 * p + 1]
+                k, in_gap, score = _merge_halves_affine(
+                    HL[:h].astype(np.int64), EL[:h].astype(np.int64),
+                    HR[:h].astype(np.int64), ER[:h].astype(np.int64),
+                    h, mid, shi - slo - mid, sc, sg, eg,
+                )
+                if root_score is None:
+                    root_score = score
+                classify((qlo, qlo + k + 1, slo, slo + mid, sg, in_gap))
+                classify((qlo + k + 1, qhi, slo + mid, shi, in_gap, eg))
+            _save_level()
+            continue
+
+        if (mesh is None and use_kernel and P <= KERNEL_MAX_PARTS
+                and min(mids) >= KERNEL_MIN_MID):
+            # Shallow/mid levels through the wavefront kernel (H and E
+            # last columns; start_gap per crossing-state flag). Halves
+            # taller than band.M_MAX chain boundary-mode band sweeps
+            # (score_pair_chained start_gap init).
             outs_dev = []
             for p, (qlo, qhi, slo, shi, sg, eg) in enumerate(parts):
                 h, mid = hs[p], mids[p]
@@ -577,6 +672,7 @@ def _hb_global_affine(q8, s8, off_i, off_j, out_q, out_s, sc, engine,
                     root_score = score
                 classify((qlo, qlo + k + 1, slo, slo + mid, sg, in_gap))
                 classify((qlo + k + 1, qhi, slo + mid, shi, in_gap, eg))
+            _save_level()
             continue
 
         Mb = batch._bucket(max(hs))
@@ -600,10 +696,17 @@ def _hb_global_affine(q8, s8, off_i, off_j, out_q, out_s, sc, engine,
             ns[2 * p + 1] = shi - slo - mid
             sgaps[2 * p] = sg       # forward half inherits start flag
             sgaps[2 * p + 1] = eg   # reversed half: end flag -> start
-        cols_h, cols_e = batch.last_cols_batch_affine(
-            jnp.asarray(qarr), jnp.asarray(sarr),
-            jnp.asarray(ms), jnp.asarray(ns), sc, jnp.asarray(sgaps),
-        )
+        if mesh is not None:
+            cols_h, cols_e = dist_batch.last_cols_batch_affine_sharded(
+                jnp.asarray(qarr), jnp.asarray(sarr),
+                jnp.asarray(ms), jnp.asarray(ns), sc,
+                jnp.asarray(sgaps), mesh,
+            )
+        else:
+            cols_h, cols_e = batch.last_cols_batch_affine(
+                jnp.asarray(qarr), jnp.asarray(sarr),
+                jnp.asarray(ms), jnp.asarray(ns), sc, jnp.asarray(sgaps),
+            )
         cols_h = np.asarray(cols_h)
         cols_e = np.asarray(cols_e)
         for p, (qlo, qhi, slo, shi, sg, eg) in enumerate(parts):
@@ -619,8 +722,10 @@ def _hb_global_affine(q8, s8, off_i, off_j, out_q, out_s, sc, engine,
                 root_score = score
             classify((qlo, qlo + k + 1, slo, slo + mid, sg, in_gap))
             classify((qlo + k + 1, qhi, slo + mid, shi, in_gap, eg))
+        _save_level()
 
-    # Terminal stripes, batched by shape bucket.
+    # Terminal stripes, batched by shape bucket (chunk index `ci` is the
+    # checkpoint resume unit).
     from anyseq_tpu.core.types import PRED_GAP_Q
     from anyseq_tpu.engine import tb
 
@@ -630,8 +735,12 @@ def _hb_global_affine(q8, s8, off_i, off_j, out_q, out_s, sc, engine,
         groups.setdefault(
             (batch._bucket(h), batch._bucket(w, 128)), []
         ).append(t)
+    ci = -1
     for (Hb, Wb), ts in groups.items():
         for lo in range(0, len(ts), 512):
+            ci += 1
+            if ci < term_done:
+                continue
             chunk = ts[lo: lo + 512]
             B = len(chunk)
             qarr = np.full((B, Hb), batch._PAD_Q, np.int32)
@@ -646,10 +755,18 @@ def _hb_global_affine(q8, s8, off_i, off_j, out_q, out_s, sc, engine,
                 ms[b] = h
                 ns[b] = w
                 sgaps[b] = sg
-            preds, cols_h, cols_e = batch.preds_batch_affine(
-                jnp.asarray(qarr), jnp.asarray(sarr),
-                jnp.asarray(ms), jnp.asarray(ns), sc, jnp.asarray(sgaps),
-            )
+            if mesh is not None:
+                preds, cols_h, cols_e = dist_batch.preds_batch_affine_sharded(
+                    jnp.asarray(qarr), jnp.asarray(sarr),
+                    jnp.asarray(ms), jnp.asarray(ns), sc,
+                    jnp.asarray(sgaps), mesh,
+                )
+            else:
+                preds, cols_h, cols_e = batch.preds_batch_affine(
+                    jnp.asarray(qarr), jnp.asarray(sarr),
+                    jnp.asarray(ms), jnp.asarray(ns), sc,
+                    jnp.asarray(sgaps),
+                )
             preds = np.asarray(preds)
             cols_h = np.asarray(cols_h)
             cols_e = np.asarray(cols_e)
@@ -671,6 +788,8 @@ def _hb_global_affine(q8, s8, off_i, off_j, out_q, out_s, sc, engine,
                     q8[qlo:qhi], s8[slo:shi], PH, PE, PF, (h - 1, w - 1),
                     out_q, out_s, off_i + qlo, off_j + slo,
                 )
+            term_done = ci + 1
+            _save_level()
     return root_score
 
 
@@ -692,41 +811,39 @@ def align_hirschberg(query, subject, mode, scoring=LinearScoring(),
     construction is distributed over the device mesh and bit-identical
     to the single-device result (see :func:`_hb_global`).
 
-    ``checkpoint_path`` (GLOBAL + linear scoring): durable npz updated
-    after every completed divide level and terminal chunk; a killed run
-    re-invoked with the same arguments resumes and produces a
-    byte-identical alignment. A checkpoint from different inputs or
-    parameters is rejected."""
+    ``checkpoint_path``: durable npz state updated after every completed
+    unit of work; a killed run re-invoked with the same arguments resumes
+    and produces a byte-identical alignment. A checkpoint from different
+    inputs or parameters is rejected. Covers every construction mode:
+    GLOBAL saves divide levels + terminal chunks under ``checkpoint_path``
+    itself (affine Myers-Miller included); semiglobal/local additionally
+    save the endpoint-reduction stages (forward end, reverse start) under
+    ``checkpoint_path`` with the rectangle construction state in
+    ``checkpoint_path + ".rect"``."""
     mode = Mode.parse(mode)
     affine = isinstance(scoring, AffineScoring)
-    if affine and mesh is not None:
-        raise NotImplementedError(
-            "distributed construction supports linear scoring; affine "
-            "Myers-Miller runs single-process"
-        )
     q8 = as_u8(query)
     s8 = as_u8(subject)
     m, n = len(q8), len(s8)
     if m == 0 or n == 0:
         raise ValueError("empty sequences are not supported")
-    ckpt = None
-    if checkpoint_path is not None:
-        if mode is not Mode.GLOBAL or affine:
-            raise NotImplementedError(
-                "construction checkpointing supports global mode with "
-                "linear scoring"
-            )
-        ckpt = _HbCheckpoint(
-            checkpoint_path, _ckpt_key(q8, s8, mode, scoring, min_width)
-        )
 
     def hb_rect(qr8, sr8, oi, oj):
+        rc = None
+        if checkpoint_path is not None:
+            path = (checkpoint_path if mode is Mode.GLOBAL
+                    else checkpoint_path + ".rect")
+            rc = _HbCheckpoint(
+                path,
+                _ckpt_key(qr8, sr8, Mode.GLOBAL, scoring, min_width),
+            )
         if affine:
             return _hb_global_affine(qr8, sr8, oi, oj, out_q, out_s,
-                                     scoring, engine, min_width)
+                                     scoring, engine, min_width, ckpt=rc,
+                                     mesh=mesh, sp_min_width=sp_min_width)
         return _hb_global(qr8, sr8, oi, oj, out_q, out_s, scoring,
                           engine, min_width, mesh=mesh,
-                          sp_min_width=sp_min_width, ckpt=ckpt)
+                          sp_min_width=sp_min_width, ckpt=rc)
 
     out_q = np.full(m + n, EMPTY_SYM, dtype=np.uint8)
     out_s = np.full(m + n, EMPTY_SYM, dtype=np.uint8)
@@ -736,8 +853,30 @@ def align_hirschberg(query, subject, mode, scoring=LinearScoring(),
         return Alignment(score, bytes(out_q), bytes(out_s), (0, 0))
 
     # semiglobal / local: endpoint reduction to a global sub-rectangle.
-    score, end = _find_end(q8, s8, mode, scoring, engine, mesh=mesh)
-    ei, ej = end
+    # The two reduction passes are the checkpoint stages for these modes
+    # (stage 1 = forward end found, stage 2 = reverse start found); the
+    # rectangle construction then has its own level-granular state.
+    outer = None
+    stage = None
+    if checkpoint_path is not None:
+        outer = _HbCheckpoint(
+            checkpoint_path, _ckpt_key(q8, s8, mode, scoring, min_width)
+        )
+        ck = outer.load()
+        if ck is not None:
+            stage = {k: int(ck[k]) for k in
+                     ("stage", "score", "ei", "ej", "rscore", "ri", "rj")}
+
+    if stage is not None and stage["stage"] >= 1:
+        score, (ei, ej) = stage["score"], (stage["ei"], stage["ej"])
+    else:
+        score, end = _find_end(q8, s8, mode, scoring, engine, mesh=mesh)
+        ei, ej = end
+        if outer is not None:
+            outer.save(stage=np.int64(1), score=np.int64(score),
+                       ei=np.int64(ei), ej=np.int64(ej),
+                       rscore=np.int64(0), ri=np.int64(0),
+                       rj=np.int64(0))
     if ei < 0 or ej < 0 or (mode is Mode.LOCAL and score <= 0):
         # Empty alignment (boundary maximum / all-negative local matrix)
         return Alignment(score, bytes(out_q), bytes(out_s), (ei + 1, ej + 1))
@@ -751,7 +890,9 @@ def align_hirschberg(query, subject, mode, scoring=LinearScoring(),
     # boundary maps to the reverse matrix's last row/column).
     qr = q8[: ei + 1][::-1]
     sr = s8[: ej + 1][::-1]
-    if mode is Mode.LOCAL:
+    if stage is not None and stage["stage"] >= 2:
+        rscore, ri, rj = stage["rscore"], stage["ri"], stage["rj"]
+    elif mode is Mode.LOCAL:
         rscore, rend = _find_end(qr, sr, mode, scoring, engine, mesh=mesh)
         ri, rj = rend
     else:
@@ -784,6 +925,11 @@ def align_hirschberg(query, subject, mode, scoring=LinearScoring(),
         if all_gap(nr) > rscore:
             rscore = all_gap(nr)
             ri, rj = -1, nr - 1
+    if outer is not None and (stage is None or stage["stage"] < 2):
+        outer.save(stage=np.int64(2), score=np.int64(score),
+                   ei=np.int64(ei), ej=np.int64(ej),
+                   rscore=np.int64(rscore), ri=np.int64(ri),
+                   rj=np.int64(rj))
     si = ei - ri
     sj = ej - rj
     # si/sj may be ei+1/ej+1 if the reverse max sits on the -1 boundary

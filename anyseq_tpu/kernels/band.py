@@ -84,6 +84,14 @@ from anyseq_tpu.core.types import (
 # Safe -inf within int32 under repeated +gap (matches engine/xla_affine).
 NEG = -(2**29)
 
+# Sequence padding symbols OUTSIDE the u8 range: pad-vs-anything never
+# matches, for ANY input bytes. This makes the no-mask fast paths below
+# provably exact (invalid-region cells strictly decay when mismatch/gap
+# penalties are negative, so they can never strictly exceed the valid
+# maximum).
+PAD_Q = 300
+PAD_S = 301
+
 # Window geometry: R sublanes x 128 lanes = W subject positions.
 R = 8
 LANES = 128
@@ -99,8 +107,9 @@ DEFAULT_G = 4
 # every chain's chunk events at the same unrolled substep).
 STAGGER = W + LANES
 
-# Unroll factor of the step loop. Chunk events land at fixed substeps:
-# reloads at k=0 (t % 128 == 0), flushes at k=14 (t % 128 == 126).
+# Unroll factor of the step loop (16 or 32). Chunk events land at fixed
+# unroll phases: reloads at k=0 (t % 128 == 0), column flushes at
+# k % 16 == 14 (t % 128 == 126), pred-word completion at k % 16 == 15.
 U = 16
 
 # VMEM cap for the column scratch (+ q + ecol staging): 512k rows of
@@ -166,6 +175,22 @@ def _make_kernel(mode: Mode, sc, emit_col: bool, G: int,
         go, ge = sc.gap_open, sc.gap_extend
     else:
         gap = sc.gap
+
+    # Fast LOCAL tracking (the headline path): with strictly negative
+    # penalties (statically known from the scheme) and out-of-range pad
+    # symbols, every invalid-region cell is STRICTLY below the valid
+    # maximum (decay >= 1 per step, clamp at 0), so the running-max
+    # tracking needs no validity masks at all, and -- because the local
+    # clamp reproduces the zero boundary exactly -- the d1 (and affine f)
+    # birth-keep masks are no-ops and are dropped. The per-position best
+    # stores the step t of the first strict improvement; i = t - p is
+    # recovered at drain time.
+    if affine:
+        _neg_pen = (sc.mismatch < 0 and sc.gap_extend < 0
+                    and sc.gap_open + sc.gap_extend < 0)
+    else:
+        _neg_pen = sc.mismatch < 0 and sc.gap < 0
+    fast_local = local and not boundary and _neg_pen
 
     if start_gap and not (affine and is_global):
         raise ValueError("start_gap is an affine GLOBAL (Myers-Miller) "
@@ -295,6 +320,21 @@ def _make_kernel(mode: Mode, sc, emit_col: bool, G: int,
             smem_s[1] = -1
             smem_s[2] = -1
 
+        if not boundary:
+            # Closed-form mode: rows >= ceil(m/128) of the column scratch
+            # are read (crow clamps into them past the sweep end) but
+            # never flushed; initialize them to a decaying sentinel so
+            # the mask-free fast paths never observe uninitialized VMEM.
+            @pl.when(gr == 0)
+            def _():
+                colbuf_s[:, :] = jnp.full(
+                    (colbuf_s.shape[0], LANES), NEG, Score
+                )
+                if affine:
+                    colbuf_e_s[:, :] = jnp.full(
+                        (colbuf_e_s.shape[0], LANES), NEG, Score
+                    )
+
         # Per-window sweep length: colacc's last flush (row nrm-1) is at
         # t = 128*(nrm-1) + W + 126; ecol needs a flush at
         # t >= m-1+edge (+W margin covers any edge in [0, W)).
@@ -332,13 +372,25 @@ def _make_kernel(mode: Mode, sc, emit_col: bool, G: int,
             st = {
                 "d1": d1_0,
                 "d2s": d2s_0,
-                "qd": jnp.zeros((R, LANES), jnp.int32),
-                "qfeed": zrow, "colfeed": zrow, "colacc": zrow,
+                # qd birth = PAD_Q: garbage positions (p > t) then never
+                # match any subject byte, keeping pre-front cells exactly
+                # at their boundary values in the mask-free fast paths.
+                "qd": jnp.full((R, LANES), PAD_Q, jnp.int32),
+                # One stacked register for every per-step (1,128) stream
+                # (they all roll left by one lane per step, so stacking
+                # turns 3 rolls -- 5 for affine -- into 1):
+                #   row 0 = qfeed, row 1 = colfeed, row 2 = colacc,
+                #   row 3 = colfeed_e, row 4 = colacc_e (affine).
+                "streams": zero8,
                 "lastrow": zero8,
             }
             if local:
-                st["vmax"] = jnp.full((R, LANES), SCORE_MIN, Score)
-                st["vimax"] = jnp.zeros((R, LANES), jnp.int32)
+                if fast_local:
+                    st["vmax"] = zero8
+                    st["vtmax"] = jnp.zeros((R, LANES), jnp.int32)
+                else:
+                    st["vmax"] = jnp.full((R, LANES), SCORE_MIN, Score)
+                    st["vimax"] = jnp.zeros((R, LANES), jnp.int32)
             if emit_col:
                 st["ecol"] = zero8
             if affine:
@@ -348,8 +400,6 @@ def _make_kernel(mode: Mode, sc, emit_col: bool, G: int,
                 else:
                     st["f"] = jnp.full((R, LANES), NEG, Score)
                 st["e"] = jnp.full((R, LANES), NEG, Score)
-                st["colfeed_e"] = zrow
-                st["colacc_e"] = zrow
                 if emit_col:
                     st["ecole"] = zero8
             return st
@@ -392,31 +442,38 @@ def _make_kernel(mode: Mode, sc, emit_col: bool, G: int,
                     ))
                     def _(crow=crow):
                         _row_rdma(crow).wait_recv()
-                st["qfeed"] = jnp.where(
-                    fresh, q_ref[pl.ds(crow, 1), :], st["qfeed"]
-                )
-                st["colfeed"] = jnp.where(
-                    fresh, colbuf_s[pl.ds(crow, 1), :], st["colfeed"]
-                )
+                # Rebuild the feed rows of the stacked streams register
+                # (colacc rows 2/4 are preserved; only every 128th step).
+                reb = jnp.where(sub_iota == 0, q_ref[pl.ds(crow, 1), :],
+                                st["streams"])
+                reb = jnp.where(sub_iota == 1, colbuf_s[pl.ds(crow, 1), :],
+                                reb)
                 if affine:
-                    st["colfeed_e"] = jnp.where(
-                        fresh, colbuf_e_s[pl.ds(crow, 1), :],
-                        st["colfeed_e"],
+                    reb = jnp.where(
+                        sub_iota == 3, colbuf_e_s[pl.ds(crow, 1), :], reb
                     )
+                st["streams"] = jnp.where(fresh, reb, st["streams"])
                 sts.append(st)
 
             packs = [None] * G  # block-local 2-bit pred accumulators
             # Hoisted local-mode column-validity masks (loop-invariant;
             # per block rather than per kernel to keep them out of the
-            # long-lived register set).
+            # long-lived register set). The fast local path needs none.
             jvalid = ([j0s[g] + flat_iota < n for g in range(G)]
-                      if local else None)
+                      if (local and not fast_local) else None)
+            # Hoisted stream-insert masks (constants).
+            acc_mask = jnp.logical_and(sub_iota == 2,
+                                       lane_iota == LANES - 1)
+            acc_e_mask = jnp.logical_and(sub_iota == 4,
+                                         lane_iota == LANES - 1)
             for k in range(U):
                 for g in range(G):
                     t = t0s[g] + k
                     st = sts[g]
                     d1, d2s, qd = st["d1"], st["d2s"], st["qd"]
-                    qfeed, colfeed = st["qfeed"], st["colfeed"]
+                    streams = st["streams"]
+                    qfeed = streams[0:1, :]
+                    colfeed = streams[1:2, :]
 
                     # Query symbol entering the diagonal at position 0:
                     # q[t] == qfeed lane 0 (purely positional select).
@@ -447,9 +504,9 @@ def _make_kernel(mode: Mode, sc, emit_col: bool, G: int,
                         )
                         e_s = _shift_r(st["e"], lane_iota)
                         if g == 0 and not boundary:
-                            eb = jnp.where(gr == 0, NEG, st["colfeed_e"])
+                            eb = jnp.where(gr == 0, NEG, streams[3:4, :])
                         else:
-                            eb = st["colfeed_e"]
+                            eb = streams[3:4, :]
                         e_s = jnp.where(flat_iota == 0, eb, e_s)
                         e_new = jnp.maximum(d1s + (go + ge), e_s + ge)
                         T_ = jnp.maximum(d2s + sub, f_new)
@@ -458,19 +515,21 @@ def _make_kernel(mode: Mode, sc, emit_col: bool, G: int,
                         new = jnp.maximum(T_, e_new)
                         # Positions > t keep the birth F boundary row
                         # (NEG in closed-form mode; consumed when the
-                        # front reaches them).
-                        st["f"] = jnp.where(flat_iota <= t, f_new, st["f"])
+                        # front reaches them). In the fast local path the
+                        # mask is a no-op: pre-front garbage stabilizes
+                        # at exactly go+ge, the value the Gotoh boundary
+                        # recurrence produces from F(-1,.)=-inf anyway.
+                        if fast_local:
+                            st["f"] = f_new
+                        else:
+                            st["f"] = jnp.where(flat_iota <= t, f_new,
+                                                st["f"])
                         if boundary:
                             st["lastrowf"] = jnp.where(
                                 flat_iota == t - (m - 1), f_new,
                                 st["lastrowf"],
                             )
                         st["e"] = e_new
-                        st["colacc_e"] = jnp.where(
-                            row_iota == LANES - 1,
-                            e_new[R - 1:R, :],
-                            pltpu.roll(st["colacc_e"], LANES - 1, 1),
-                        )
                     else:
                         new = jnp.maximum(
                             d2s + sub, jnp.maximum(d1s, d1) + gap
@@ -478,18 +537,21 @@ def _make_kernel(mode: Mode, sc, emit_col: bool, G: int,
                         if local:
                             new = jnp.maximum(new, 0)
 
-                    # Outgoing boundary column: value at position W-1
-                    # (cell (t-W+1, j0+W-1)) enters colacc at lane 127
-                    # and rolls left; after each 128 steps lane L holds
-                    # cell(128r + L, .) exactly.
-                    colacc = jnp.where(
-                        row_iota == LANES - 1,
-                        new[R - 1:R, :],
-                        pltpu.roll(st["colacc"], LANES - 1, 1),
-                    )
-                    st["colacc"] = colacc
-                    if k == 14:
-                        # t % 128 == 126 lands here (all chains share
+                    # Advance every per-step stream with ONE flat roll:
+                    # outgoing boundary column values (position W-1 =
+                    # cell (t-W+1, j0+W-1)) enter colacc (row 2) at lane
+                    # 127 and roll left; after each 128 steps lane L
+                    # holds cell(128r + L, .) exactly. The feed rows
+                    # (0/1/3) consume from lane 0 and roll the same way.
+                    streams = pltpu.roll(streams, LANES - 1, 1)
+                    streams = jnp.where(acc_mask, new[R - 1:R, :], streams)
+                    if affine:
+                        streams = jnp.where(
+                            acc_e_mask, e_new[R - 1:R, :], streams
+                        )
+                    st["streams"] = streams
+                    if k % 16 == 14:
+                        # t % 128 == 126 can land here (all chains share
                         # phase since S % 128 == 0).
                         r_fl = jax.lax.div(t - W - 126, 128)
                         flush_ok = jnp.logical_and(
@@ -498,13 +560,13 @@ def _make_kernel(mode: Mode, sc, emit_col: bool, G: int,
                         )
 
                         @pl.when(flush_ok)
-                        def _(colacc=colacc, r_fl=r_fl):
-                            colbuf_s[pl.ds(r_fl, 1), :] = colacc
+                        def _(cs=streams, r_fl=r_fl):
+                            colbuf_s[pl.ds(r_fl, 1), :] = cs[2:3, :]
 
                         if affine:
                             @pl.when(flush_ok)
-                            def _(ca=st["colacc_e"], r_fl=r_fl):
-                                colbuf_e_s[pl.ds(r_fl, 1), :] = ca
+                            def _(cs=streams, r_fl=r_fl):
+                                colbuf_e_s[pl.ds(r_fl, 1), :] = cs[4:5, :]
 
                         if collective_axis and g == G - 1:
                             # Stripe's last window: stream the freshly
@@ -542,10 +604,11 @@ def _make_kernel(mode: Mode, sc, emit_col: bool, G: int,
                                 jnp.where(new == d1 + gap, 2, 0),
                             ),
                         )
-                        packs[g] = code << (2 * k) if k == 0 else (
-                            packs[g] | (code << (2 * k))
+                        kw = k % 16
+                        packs[g] = code << (2 * kw) if kw == 0 else (
+                            packs[g] | (code << (2 * kw))
                         )
-                        if k == U - 1:
+                        if kw == 15:
                             # Completed word plane for diagonals
                             # [t-15, t]. Stage it; DMA a filled 64-row
                             # slot (8 planes = 128 steps) to HBM.
@@ -605,7 +668,16 @@ def _make_kernel(mode: Mode, sc, emit_col: bool, G: int,
                             flat_iota == t - (m - 1), new, st["lastrow"]
                         )
 
-                    if local:
+                    if fast_local:
+                        # Mask-free running max: invalid-region cells are
+                        # strictly below the valid max (negative
+                        # penalties + out-of-range pads), so no validity
+                        # masks are needed. Store the step t of the first
+                        # strict improvement; i = t - p at drain time.
+                        better = new > st["vmax"]
+                        st["vtmax"] = jnp.where(better, t, st["vtmax"])
+                        st["vmax"] = jnp.maximum(st["vmax"], new)
+                    elif local:
                         # valid = 0 <= i < m (one unsigned compare on
                         # i = t - p) AND j < n (hoisted per block).
                         r_im = t - flat_iota
@@ -635,7 +707,7 @@ def _make_kernel(mode: Mode, sc, emit_col: bool, G: int,
                                 _rot_l(st["ecole"], lane_iota),
                             )
                             st["ecole"] = ecole
-                        if k == 14:
+                        if k % 16 == 14:
                             c_fl = jax.lax.div(t + 2 - W, W)
                             flush_col = jnp.logical_and(
                                 jnp.logical_and(
@@ -662,16 +734,16 @@ def _make_kernel(mode: Mode, sc, emit_col: bool, G: int,
                     # Top boundary row values were pre-placed at birth
                     # (closed-form or memory-sourced); the mask keeps
                     # them at positions > t until the front consumes
-                    # them.
-                    st["d1"] = jnp.where(flat_iota <= t, new, d1)
+                    # them. In the fast local path the mask is a no-op
+                    # (the zero boundary is exactly what the clamped
+                    # recurrence computes at pre-front positions) and is
+                    # dropped.
+                    if fast_local:
+                        st["d1"] = new
+                    else:
+                        st["d1"] = jnp.where(flat_iota <= t, new, d1)
                     st["d2s"] = d1s
                     st["qd"] = qd
-                    st["qfeed"] = pltpu.roll(qfeed, LANES - 1, 1)
-                    st["colfeed"] = pltpu.roll(colfeed, LANES - 1, 1)
-                    if affine:
-                        st["colfeed_e"] = pltpu.roll(
-                            st["colfeed_e"], LANES - 1, 1
-                        )
 
             return tuple(sts)
 
@@ -708,7 +780,12 @@ def _make_kernel(mode: Mode, sc, emit_col: bool, G: int,
                 def _():
                     _wait(nf - 2)
             if local:
-                vmax, vimax = st["vmax"], st["vimax"]
+                vmax = st["vmax"]
+                if fast_local:
+                    # Recover i = t - p from the stored improvement step.
+                    vimax = st["vtmax"] - flat_iota
+                else:
+                    vimax = st["vimax"]
                 # Merge this window's best into the running best with
                 # row-major first-occurrence tie-breaking (smallest i,
                 # then smallest j) -- matches the reference's strict->
@@ -723,6 +800,14 @@ def _make_kernel(mode: Mode, sc, emit_col: bool, G: int,
                 jmin = jnp.min(jcand)
                 gi = imin
                 gj = j0s[g] + jmin
+                if fast_local:
+                    # mval == 0 (no positive cell anywhere): never-
+                    # improved positions hold garbage vtmax; report the
+                    # first-occurrence zero cell (0, 0), matching the
+                    # masked path / the oracle.
+                    pos_ok = mval > 0
+                    gi = jnp.where(pos_ok, gi, 0)
+                    gj = jnp.where(pos_ok, gj, 0)
                 better = jnp.logical_or(
                     mval > smem_s[0],
                     jnp.logical_and(
@@ -785,6 +870,15 @@ def _unrotate_ecol(stage, m_pad_rows, m, n):
 
 def _round_up(x: int, mult: int) -> int:
     return (x + mult - 1) // mult * mult
+
+
+def _fit_padded(arr, size: int, true_len: int, fill: int):
+    """(size//128, 128) int32 staging of ``arr`` with positions >=
+    ``true_len`` forced to the out-of-range ``fill`` symbol."""
+    out = jnp.full((size,), fill, jnp.int32)
+    k = min(arr.shape[0], size, true_len)
+    out = out.at[:k].set(jnp.asarray(arr)[:k].astype(jnp.int32))
+    return out.reshape(size // LANES, LANES)
 
 
 def _bucket(x: int, mult: int) -> int:
@@ -1056,14 +1150,22 @@ M_BAND = 256 * 1024
 
 def score_pair_chained(qp, sp, m, n, mode: Mode, sc,
                        band_rows: int = M_BAND, interpret: bool = False,
-                       G: int | None = None):
+                       G: int | None = None, start_gap: bool = False):
     """Arbitrary-height scoring on the kernel path: chain boundary-mode
     band sweeps, feeding each band's bottom row (+ affine F row) to the
     next -- the streamed form of the reference's linear-memory row vector
     (scoring.impala:218-259). O(n + band_rows) device memory.
+
+    ``start_gap`` (affine GLOBAL only): the Myers-Miller continuing-run
+    boundary init -- the top row pays no gap_open and the left column /
+    corner are unreachable. Only the first band's explicit boundary
+    inputs change; the kernel runs in boundary mode either way.
     """
     mode = Mode.parse(mode)
     affine = isinstance(sc, AffineScoring)
+    if start_gap and not (affine and mode is Mode.GLOBAL):
+        raise ValueError("start_gap is an affine GLOBAL (Myers-Miller) "
+                         "subproblem flag")
     m_i, n_i = int(m), int(n)
     emit_col = mode is not Mode.LOCAL
     if G is None:
@@ -1074,18 +1176,20 @@ def score_pair_chained(qp, sp, m, n, mode: Mode, sc,
     num_windows = N_pad // W
     num_bands = -(-m_i // band_rows)
 
-    def _fit(arr, size, fill):
-        out = jnp.full((size,), fill, jnp.int32)
-        k = min(arr.shape[0], size)
-        return out.at[:k].set(arr[:k]).reshape(size // LANES, LANES)
-
-    s2 = _fit(sp, N_pad, 255)
+    s2 = _fit_padded(sp, N_pad, n_i, PAD_S)
     qp = jnp.asarray(qp)
 
     jj = jnp.arange(N_pad, dtype=Score)
     ii = jnp.arange(M_pad, dtype=Score)
     if mode is Mode.GLOBAL:
-        if affine:
+        if affine and start_gap:
+            # Myers-Miller continuing-run init: no gap_open on the top
+            # row, unreachable left column / corner.
+            row = (jj + 1) * sc.gap_extend
+            col_of = lambda i0: jnp.full((M_pad // LANES, LANES), NEG,
+                                         Score)
+            corner_of = lambda i0: jnp.int32(NEG)
+        elif affine:
             row = sc.gap_open + (jj + 1) * sc.gap_extend
             col_of = lambda i0: (
                 sc.gap_open + (i0 + ii + 1) * sc.gap_extend
@@ -1104,11 +1208,12 @@ def score_pair_chained(qp, sp, m, n, mode: Mode, sc,
     rowf = jnp.full((N_pad,), NEG, Score) if affine else None
 
     last_cols = []
+    last_cols_e = []
     bests = []
     for b in range(num_bands):
         i0 = b * band_rows
         h = min(band_rows, m_i - i0)
-        q2 = _fit(qp[i0:i0 + h], M_pad, 0)
+        q2 = _fit_padded(qp[i0:i0 + h], M_pad, h, PAD_Q)
         kw = {}
         if affine:
             kw["rowf2"] = rowf.reshape(-1, LANES)
@@ -1124,6 +1229,8 @@ def score_pair_chained(qp, sp, m, n, mode: Mode, sc,
             rowf = outs["last_row_f"]
         if emit_col:
             last_cols.append(outs["last_col"][:h])
+            if affine:
+                last_cols_e.append(outs["last_col_e"][:h])
         bests.append(outs["best"])
 
     if emit_col:
@@ -1141,14 +1248,19 @@ def score_pair_chained(qp, sp, m, n, mode: Mode, sc,
         if c[0] > merged[0]:
             merged = c
     best_arr = jnp.asarray(np.array(merged, np.int32))
-    return {"last_row": row, "last_col": last_col, "best": best_arr}
+    res = {"last_row": row, "last_col": last_col, "best": best_arr}
+    if affine and emit_col:
+        res["last_col_e"] = jnp.concatenate(last_cols_e)
+    return res
 
 
 def _pick_g(m: int, n: int, emit_col: bool, affine: bool = False) -> int:
     """Choose the number of staggered chains: minimize estimated wall
     time = groups * (T + (G-1)*S) * t_step(G), with
-    t_step(G) ~ max(100 + 5G, 14G) ns (re-fit on the real chip, round 2:
-    latency-bound below ~G=10, VPU-issue-bound above). More chains
+    t_step(G) ~ max(95 + 8G, 14.7G) ns (re-fit on the real chip after
+    the round-3 per-step op slimming: latency-bound below ~G=16,
+    VPU-issue-bound above; measured 100k local SW: G=10 64.3, G=16 67.3,
+    G=20 73.2, G=24 58 GCUPS -- the register spill cliff). More chains
     amortize dependency-chain latency; fewer chains cut stagger warmup
     and window padding. Affine carries ~4 more vregs per chain, so its
     spill cliff comes earlier."""
@@ -1156,11 +1268,13 @@ def _pick_g(m: int, n: int, emit_col: bool, affine: bool = False) -> int:
     nrm = -(-m // 128)
     T = 128 * nrm + W + (W if emit_col else 0)
     best_g, best_cost = 1, float("inf")
-    for g in (1, 2, 4, 5, 8) if affine else (1, 2, 4, 5, 8, 10, 12, 16):
+    cands = ((1, 2, 4, 5, 8) if affine
+             else (1, 2, 4, 5, 8, 10, 12, 16, 20))
+    for g in cands:
         if g > nw:
             break
         groups = -(-nw // g)
-        cost = groups * (T + (g - 1) * STAGGER) * max(100 + 5 * g,
+        cost = groups * (T + (g - 1) * STAGGER) * max(95 + 8 * g,
                                                       14.7 * g)
         if cost < best_cost:
             best_g, best_cost = g, cost
@@ -1185,8 +1299,6 @@ def unpack_preds_host(packed, p_pl: int, m: int, n: int):
     Word for cell (i, j): window w = j // W, position p = j % W, diagonal
     t = i + p; flat word index = (w * p_pl + t // 16) * W + p; the code is
     bits [2*(t%16), 2*(t%16)+2)."""
-    import numpy as np
-
     flat = np.asarray(packed).reshape(-1)
     i = np.arange(m)[:, None]
     j = np.arange(n)[None, :]
@@ -1219,28 +1331,32 @@ def score_pair(qp, sp, m, n, mode: Mode, sc,
     m_i = int(m)
     n_i = int(n)
     if m_i > M_MAX:
-        if emit_preds or start_gap:
+        if emit_preds:
             raise ValueError(
-                f"packed pred emission / start_gap support m <= {M_MAX}; "
+                f"packed pred emission supports m <= {M_MAX}; "
                 "use the Hirschberg path for taller constructions"
             )
         # Arbitrary heights: chain boundary-mode band sweeps.
         return score_pair_chained(qp, sp, m_i, n_i, mode, sc,
-                                  interpret=interpret, G=G)
+                                  interpret=interpret, G=G,
+                                  start_gap=start_gap)
     if emit_col is None:
         emit_col = mode is not Mode.LOCAL
     if G is None:
         G = _pick_g(m_i, n_i, emit_col, isinstance(sc, AffineScoring))
     M_pad = _bucket(m_i, W)
+    if M_pad - m_i < LANES:
+        # Guarantee one fully-padded query staging row: the step loop's
+        # clamped chunk row must read only pad symbols past the sweep
+        # end (the mask-free fast paths rely on it).
+        M_pad = _round_up(m_i + LANES, W)
     N_pad = _round_up(_bucket(n_i, W), G * W)
 
-    def _fit(arr, size, fill):
-        out = jnp.full((size,), fill, jnp.int32)
-        k = min(arr.shape[0], size)
-        return out.at[:k].set(arr[:k]).reshape(size // LANES, LANES)
-
-    q2 = _fit(qp, M_pad, 0)
-    s2 = _fit(sp, N_pad, 255)
+    # Out-of-range pads beyond the TRUE lengths (the incoming arrays may
+    # carry byte-range pads from the API layer): pad never matches any
+    # input byte, which the mask-free fast paths rely on.
+    q2 = _fit_padded(qp, M_pad, m_i, PAD_Q)
+    s2 = _fit_padded(sp, N_pad, n_i, PAD_S)
 
     return _score_padded(q2, s2, jnp.int32(m_i), jnp.int32(n_i),
                          mode, sc, emit_col, interpret, G,

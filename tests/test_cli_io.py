@@ -111,6 +111,59 @@ def test_cli_bad_lengths(capsys):
     assert rc == 1
 
 
+def test_cli_affine_flag(capsys):
+    """--affine through main(): Gotoh scoring drives all phases
+    (VERDICT r2 item 9 -- the engines are tested; this tests the
+    arg wiring)."""
+    from anyseq_tpu import cli
+
+    rc = cli.main(["-r", "20", "30", "--mode", "global",
+                   "--affine", "-3", "-1", "--print"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "testing global score" in out
+    assert "testing global alignment" in out
+
+
+def test_cli_mesh_flag(capsys):
+    """--mesh through main() on the virtual device mesh: distributed
+    construction must produce the same score lines as the engines."""
+    from anyseq_tpu import cli
+
+    rc = cli.main(["-r", "40", "60", "--mode", "semiglobal", "--mesh"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "testing semiglobal score" in out
+    assert "testing semiglobal alignment" in out
+
+
+def test_cli_mesh_affine_single_chip_fallback(capsys):
+    """--mesh with --affine: distributed construction supports linear
+    scoring only; the CLI must fall back cleanly (not crash)."""
+    from anyseq_tpu import cli
+
+    rc = cli.main(["-r", "20", "30", "--mode", "global", "--mesh",
+                   "--affine", "-3", "-1"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "testing global alignment" in out
+
+
+def test_cli_batch_mesh(tmp_path, capsys):
+    """-b with --mesh: dp-sharded batch engine through main()."""
+    from anyseq_tpu import cli
+
+    qf = tmp_path / "qs.fna"
+    sf = tmp_path / "ss.fna"
+    qf.write_bytes(b">a\nGATTACA\n>b\nACGTACGT\n>c\nTTTTCCCC\n")
+    sf.write_bytes(b">a\nGATTTACA\n>b\nACGAACGT\n>c\nTTTTGCCC\n")
+    rc = cli.main(["-b", str(qf), str(sf), "--mode", "local",
+                   "--score-only", "--mesh"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "pair 0" in out and "pair 2" in out
+
+
 def test_cli_batch_mode(tmp_path, capsys):
     from anyseq_tpu import cli
     from anyseq_tpu.ref import oracle

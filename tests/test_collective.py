@@ -53,6 +53,41 @@ def test_collective_4dev_semiglobal(rng):
     assert got == align_score(q, s, Mode.SEMIGLOBAL, LIN)
 
 
+@pytest.mark.parametrize("mode", [Mode.GLOBAL, Mode.SEMIGLOBAL,
+                                  Mode.LOCAL])
+def test_collective_chained_bands(rng, mode):
+    """m above the band height: the stripe chains collective kernel
+    launches (band corners ride a scalar ppermute between launches);
+    bit-identical to the oracle for all three schemes."""
+    q, s = _seqs(rng, 300, 700)
+    outs = score_pair_collective(q, s, mode, LIN, _mesh(2),
+                                 interpret="tpu", band_rows=128)
+    got, _ = extract_score_from_outputs(outs, 300, 700, mode, LIN)
+    assert got == align_score(q, s, mode, LIN)
+
+
+def test_collective_is_default_engine_routing():
+    """score_pair_sharded routes engine='collective-interpret' through
+    the collective kernel and rejects it cleanly on 2-D meshes."""
+    import jax
+    from jax.sharding import Mesh as _Mesh
+
+    from anyseq_tpu.dist.sharded import score_pair_sharded
+
+    rng = np.random.default_rng(5)
+    q, s = _seqs(rng, 130, 600)
+    outs = score_pair_sharded(q, s, Mode.GLOBAL, LIN, _mesh(2),
+                              engine="collective-interpret")
+    got, _ = extract_score_from_outputs(outs, 130, 600, Mode.GLOBAL, LIN)
+    assert got == align_score(q, s, Mode.GLOBAL, LIN)
+
+    mesh2d = _Mesh(np.array(jax.devices()[:2]).reshape(1, 2),
+                   ("dp", "sp"))
+    with pytest.raises(ValueError, match="1-D"):
+        score_pair_sharded(q, s, Mode.GLOBAL, LIN, mesh2d,
+                           engine="collective-interpret")
+
+
 def test_collective_matches_superstep_path(rng):
     """Bit-identical outputs contract vs dist.sharded (same last_row)."""
     from anyseq_tpu.dist.sharded import score_pair_sharded

@@ -59,22 +59,27 @@ def test_resume_rejects_mismatched_problem(tmp_path):
         ResumableScorer.resume(path, q, s + b"A", "global", SC, band_rows=64)
 
 
-def test_hirschberg_construction_checkpoint_resume(tmp_path):
+@pytest.mark.parametrize("mode", MODES)
+@pytest.mark.parametrize("scheme", ["linear", "affine"])
+def test_hirschberg_construction_checkpoint_resume(tmp_path, mode, scheme):
     """Kill the construction after each possible checkpoint unit (divide
-    level / terminal chunk); resuming must produce a byte-identical
-    alignment (VERDICT r1 item 7)."""
+    level / terminal chunk / endpoint-reduction stage); resuming must
+    produce a byte-identical alignment -- for every construction mode and
+    both scoring schemes (VERDICT r2 item 7)."""
     import numpy as np
 
     from anyseq_tpu.engine import hirschberg
-    from anyseq_tpu.core.types import LinearScoring, Mode
+    from anyseq_tpu.core.types import AffineScoring, LinearScoring, Mode
 
-    sc = LinearScoring(2, -1, -1)
+    sc = (LinearScoring(2, -1, -1) if scheme == "linear"
+          else AffineScoring(2, -1, -3, -1))
     rng = np.random.default_rng(40)
     from conftest import random_dna, mutate
 
-    q = random_dna(rng, 500)
+    size = 500 if (mode is Mode.GLOBAL and scheme == "linear") else 300
+    q = random_dna(rng, size)
     s = mutate(rng, q)
-    clean = hirschberg.align_hirschberg(q, s, Mode.GLOBAL, sc, min_width=64)
+    clean = hirschberg.align_hirschberg(q, s, mode, sc, min_width=64)
 
     class Killed(Exception):
         pass
@@ -94,7 +99,7 @@ def test_hirschberg_construction_checkpoint_resume(tmp_path):
         hirschberg._HbCheckpoint.save = save_and_die
         try:
             aln = hirschberg.align_hirschberg(
-                q, s, Mode.GLOBAL, sc, min_width=64, checkpoint_path=path
+                q, s, mode, sc, min_width=64, checkpoint_path=path
             )
             hirschberg._HbCheckpoint.save = orig_save
             # run completed before the k-th kill: final resume-free pass
@@ -107,7 +112,7 @@ def test_hirschberg_construction_checkpoint_resume(tmp_path):
             hirschberg._HbCheckpoint.save = orig_save
         # resume after the kill
         aln = hirschberg.align_hirschberg(
-            q, s, Mode.GLOBAL, sc, min_width=64, checkpoint_path=path
+            q, s, mode, sc, min_width=64, checkpoint_path=path
         )
         assert aln.score == clean.score
         assert aln.query_aligned == clean.query_aligned

@@ -62,6 +62,71 @@ def test_mesh_shapes():
 
 
 @pytest.mark.parametrize("mode", MODES)
+def test_sharded_affine_matches_oracle(mesh8, mode):
+    """Affine (Gotoh) subject-sharded wavefront: the superstep message
+    carries the full E/F gap state; bit-identical to the affine oracle
+    (VERDICT r2 item 5)."""
+    from anyseq_tpu.core.types import AffineScoring
+    from anyseq_tpu.ref import oracle_affine
+
+    asc = AffineScoring(2, -1, -3, -1)
+    rng = np.random.default_rng(34)
+    q = random_dna(rng, 150)
+    s = mutate(rng, random_dna(rng, 900))
+    m, n = len(q), len(s)
+    outs = score_pair_sharded(q, s, mode, asc, mesh8, H=128)
+    outs = {k: np.asarray(v) for k, v in outs.items()}
+    score, _ = xla_linmem.extract_score_from_outputs(outs, m, n, mode,
+                                                     asc)
+    assert score == oracle_affine.align_score_affine(q, s, mode, asc)
+
+
+@pytest.mark.parametrize("sgap", [False, True])
+def test_sharded_affine_start_gap_bitexact(mesh8, sgap):
+    """start_gap (Myers-Miller continuing-run init) through the sharded
+    path must match the single-chip affine engine bit-for-bit."""
+    from anyseq_tpu.core.types import AffineScoring
+    from anyseq_tpu.engine import xla_affine
+
+    asc = AffineScoring(2, -1, -3, -1)
+    rng = np.random.default_rng(35)
+    q = random_dna(rng, 120)
+    s = mutate(rng, random_dna(rng, 700))
+    m, n = len(q), len(s)
+    outs = score_pair_sharded(q, s, Mode.GLOBAL, asc, mesh8, H=128,
+                              start_gap=sgap)
+    outs = {k: np.asarray(v) for k, v in outs.items()}
+    qp = np.frombuffer(q, np.uint8).astype(np.int32)
+    sp = np.frombuffer(s, np.uint8).astype(np.int32)
+    ref = xla_affine.score_rows_affine(qp, sp, m, n, Mode.GLOBAL, asc,
+                                       start_gap=sgap, emit_col_e=True)
+    np.testing.assert_array_equal(outs["last_row"][:n],
+                                  np.asarray(ref["last_row"])[:n])
+    np.testing.assert_array_equal(outs["last_col"][:m],
+                                  np.asarray(ref["last_col"])[:m])
+    np.testing.assert_array_equal(outs["last_col_e"][:m],
+                                  np.asarray(ref["last_col_e"])[:m])
+
+
+def test_distributed_affine_construction(mesh8):
+    """align(mesh=) with affine scoring: distributed Myers-Miller must be
+    bit-identical to the single-device construction."""
+    from anyseq_tpu.core.types import AffineScoring
+    from anyseq_tpu.engine.hirschberg import align_hirschberg
+
+    asc = AffineScoring(2, -1, -3, -1)
+    rng = np.random.default_rng(36)
+    q = random_dna(rng, 220)
+    s = mutate(rng, random_dna(rng, 500))
+    single = align_hirschberg(q, s, Mode.GLOBAL, asc, min_width=64)
+    dist = align_hirschberg(q, s, Mode.GLOBAL, asc, min_width=64,
+                            mesh=mesh8, sp_min_width=128)
+    assert dist.score == single.score
+    assert dist.query_aligned == single.query_aligned
+    assert dist.subject_aligned == single.subject_aligned
+
+
+@pytest.mark.parametrize("mode", MODES)
 def test_sharded_kernel_engine_bitexact(mesh8, mode):
     """The Pallas boundary-mode kernel under shard_map (interpret mode)
     must be bit-identical to the XLA stripe engine and the oracle --
