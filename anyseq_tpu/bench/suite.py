@@ -70,11 +70,9 @@ def run(quick=False, out=sys.stdout):
     def score_fn(q, s, mode, scoring=sc):
         _, _, m, n, qp, sp = api._prep(q, s)
 
-        use_pallas = False
-        if on_tpu:
-            from anyseq_tpu.kernels import band
-
-            use_pallas = band.supports(m)
+        # score_pair chains boundary-mode bands above M_MAX, so the
+        # kernel path covers every height on TPU.
+        use_pallas = on_tpu
 
         def f():
             if use_pallas:

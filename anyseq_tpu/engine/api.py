@@ -100,6 +100,24 @@ def align_full_tb(query, subject, mode="global", scoring=LinearScoring(),
     mode = Mode.parse(mode)
     q, s, m, n, qp, sp = _prep(query, subject)
     if isinstance(scoring, AffineScoring):
+        if engine in ("auto", "pallas"):
+            from anyseq_tpu.kernels import band
+
+            if (band.available() or engine == "pallas") and band.supports(m):
+                # Kernel path: packed 4-bit affine pred emission (PH +
+                # PE/PF extend bits) + on-device 3-state walk -- only
+                # the O(m+n) strings leave the device.
+                from anyseq_tpu.engine import device_tb
+
+                outs = band.score_pair(qp, sp, m, n, mode, scoring,
+                                       emit_preds=True)
+                score, end = xla_linmem.extract_score_from_outputs(
+                    outs, m, n, mode, scoring
+                )
+                out_q, out_s, start = device_tb.walk_packed_affine(
+                    outs, qp, sp, m, n, end, mode
+                )
+                return Alignment(score, bytes(out_q), bytes(out_s), start)
         from anyseq_tpu.engine import xla_affine
         from anyseq_tpu.ref import oracle_affine
 

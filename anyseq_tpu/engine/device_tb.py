@@ -102,3 +102,107 @@ def walk_packed(outs, qp, sp, m, n, end, mode):
     )
     return (np.asarray(oq)[: m + n], np.asarray(os)[: m + n],
             (int(si), int(sj)))
+
+
+@functools.partial(jax.jit, static_argnames=("mode", "p_pl", "out_len"))
+def _walk_affine(packed, q, s, end_i, end_j, mode: Mode, p_pl: int,
+                 out_len: int):
+    """3-state (H/E/F) walk over the kernel's 4-bit affine packed codes
+    (PH | PE<<2 | PF<<3, 8 codes per word). Semantics identical to
+    ref/oracle_affine.traceback_affine with the GLOBAL halo convention
+    of api._haloed_affine_preds."""
+    flat = packed.reshape(-1)
+    is_global = mode is Mode.GLOBAL
+    H_, E_, F_ = 0, 1, 2
+
+    def fields(i, j):
+        w = j // W
+        p = jax.lax.rem(j, W)
+        t = i + p
+        word = jax.lax.dynamic_index_in_dim(
+            flat, (w * p_pl + t // 8) * W + p, keepdims=False
+        )
+        c = (word >> (4 * jax.lax.rem(t, 8))) & 15
+        ph_i, pe_i, pf_i = c & 3, (c >> 2) & 1, (c >> 3) & 1
+        if is_global:
+            ph_b = jnp.where(
+                jnp.logical_and(i < 0, j < 0),
+                PRED_NONE,
+                jnp.where(i < 0, PRED_GAP_Q, PRED_GAP_S),
+            )
+        else:
+            ph_b = jnp.full((), PRED_NONE, jnp.int32)
+        # Halo runs: the boundary-row E run extends for j >= 1 and opens
+        # at j == 0; the boundary-column F run extends for i >= 1.
+        pe_b = jnp.where(j >= 1, 1, 0)
+        pf_b = jnp.where(i >= 1, 1, 0)
+        off = jnp.logical_or(i < 0, j < 0)
+        return (jnp.where(off, ph_b, ph_i),
+                jnp.where(off, pe_b, pe_i),
+                jnp.where(off, pf_b, pf_i))
+
+    def cond(st):
+        i, j, state, _, _ = st
+        ph, _, _ = fields(i, j)
+        stop_h = jnp.logical_and(state == H_, ph == PRED_NONE)
+        done = jnp.logical_and(i < 0, j < 0)
+        return jnp.logical_not(jnp.logical_or(stop_h, done))
+
+    def body(st):
+        i, j, state, oq, os = st
+        ph, pe, pf = fields(i, j)
+        pos = i + j + 1
+        qs = q[jnp.maximum(i, 0)].astype(jnp.uint8)
+        ss = s[jnp.maximum(j, 0)].astype(jnp.uint8)
+
+        in_h = state == H_
+        diag = jnp.logical_and(in_h, ph == PRED_NO_GAP)
+        to_e = jnp.logical_and(in_h, ph == PRED_GAP_Q)
+        to_f = jnp.logical_and(in_h, ph == PRED_GAP_S)
+        in_e = state == E_
+        in_f = state == F_
+
+        emit = jnp.logical_or(diag, jnp.logical_or(in_e, in_f))
+        sym_q = jnp.where(diag, qs, jnp.where(in_f, qs, GAP_SYM))
+        sym_s = jnp.where(diag, ss, jnp.where(in_e, ss, GAP_SYM))
+        # Non-emitting steps (H -> E/F transitions) write to a reserved
+        # dummy slot (out_len-1, never part of the m+n output) so every
+        # iteration is a single scatter, not an O(out_len) select.
+        pos_w = jnp.where(emit, pos, out_len - 1)
+        oq = oq.at[pos_w].set(jnp.where(emit, sym_q, oq[out_len - 1]))
+        os = os.at[pos_w].set(jnp.where(emit, sym_s, os[out_len - 1]))
+
+        di = jnp.where(jnp.logical_or(diag, in_f), 1, 0)
+        dj = jnp.where(jnp.logical_or(diag, in_e), 1, 0)
+        new_state = jnp.where(
+            to_e, E_,
+            jnp.where(
+                to_f, F_,
+                jnp.where(jnp.logical_and(in_e, pe == 1), E_,
+                          jnp.where(jnp.logical_and(in_f, pf == 1),
+                                    F_, H_)),
+            ),
+        )
+        return i - di, j - dj, new_state, oq, os
+
+    init = (
+        end_i, end_j, jnp.int32(H_),
+        jnp.full((out_len,), EMPTY_SYM, jnp.uint8),
+        jnp.full((out_len,), EMPTY_SYM, jnp.uint8),
+    )
+    i, j, _, oq, os = jax.lax.while_loop(cond, body, init)
+    return oq, os, i + 1, j + 1
+
+
+def walk_packed_affine(outs, qp, sp, m, n, end, mode):
+    """Affine analog of :func:`walk_packed`."""
+    mode = Mode.parse(mode)
+    # +1: slot out_len-1 is the dummy write target, never in [0, m+n)
+    out_len = -(-(m + n + 1) // 256) * 256
+    oq, os, si, sj = _walk_affine(
+        outs["packed_preds"], qp, sp,
+        jnp.int32(end[0]), jnp.int32(end[1]),
+        mode, int(outs["p_pl"]), out_len,
+    )
+    return (np.asarray(oq)[: m + n], np.asarray(os)[: m + n],
+            (int(si), int(sj)))

@@ -28,6 +28,9 @@ stripes -- the reference's ragged blockwise predecessor matrix
 """
 from __future__ import annotations
 
+import os
+import time
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -47,14 +50,25 @@ from anyseq_tpu.ref import oracle
 # wider stripe since the engines vectorize over 128-lane windows anyway).
 MIN_WIDTH = 256
 
-# Kernel-shortcut gates for divide levels: run each half through the
-# Pallas wavefront kernel (dispatched per half, fetched once per level)
-# while the level has at most KERNEL_MAX_PARTS parts of half-width >=
-# KERNEL_MIN_MID; deeper levels fall back to the batched XLA sweep.
-# Crossover measured on TPU v5e (bench/suite.py "construction_crossover"):
-# per-half dispatch beats the batched row-scan down to ~1k-wide halves.
-KERNEL_MAX_PARTS = 32
-KERNEL_MIN_MID = 1024
+# Env ANYSEQ_TIMING=1: print per-phase construction timings (stderr).
+def _tlog(msg):
+    if os.environ.get("ANYSEQ_TIMING") == "1":
+        import sys
+
+        print(f"[hb] {msg}", file=sys.stderr, flush=True)
+
+
+# Kernel gates for divide levels. Shallow levels (few, wide halves) run
+# one kernel dispatch PER HALF -- that path chains band sweeps above
+# band.M_MAX, so it must own the widest levels. Every other level runs
+# as ONE batched kernel launch for the whole level
+# (band.score_pairs_batched, grid over halves): measured on the
+# tunneled v5e, a kernel DISPATCH costs ~35 ms, so per-half dispatch at
+# P = 16 parts costs more than the level's entire compute -- one launch
+# per level is the dispatch-minimal shape (the reference runs the same
+# hot loop for all halves in one sweep, iteration_cpu.impala:59-119).
+KERNEL_MAX_PARTS = 4
+KERNEL_MIN_MID = 2048
 
 
 class _HbCheckpoint:
@@ -274,6 +288,7 @@ def _hb_global(q8, s8, off_i, off_j, out_q, out_s, scoring, engine,
             sp_min_width = 2048 * n_dev
 
     while active:
+        _lt0 = time.perf_counter()
         parts = active
         active = []
         P = len(parts)
@@ -314,18 +329,19 @@ def _hb_global(q8, s8, off_i, off_j, out_q, out_s, scoring, engine,
                     root_score = score
                 classify((qlo, qlo + k + 1, slo, slo + mid))
                 classify((qlo + k + 1, qhi, slo + mid, shi))
+            _tlog(f"level P={P} maxh={max(hs)} maxmid={max(mids)} "
+                  f"path=mesh-sp {(time.perf_counter()-_lt0)*1e3:.0f}ms")
             _save_level()
             continue
 
-        if (mesh is None and use_kernel and P <= KERNEL_MAX_PARTS
+        if (mesh is None and use_kernel and max(hs) > band.M_MAX
+                and P <= KERNEL_MAX_PARTS
                 and min(mids) >= KERNEL_MIN_MID):
-            # Shallow/mid levels: run each half through the Pallas
-            # wavefront kernel (20-60 GCUPS) instead of the batched XLA
-            # row-scan (~2-4 GCUPS). The first two levels are ~75% of
-            # total Hirschberg work. Halves taller than band.M_MAX
-            # chain boundary-mode band sweeps transparently
-            # (band.score_pair_chained), so genome-scale constructions
-            # stay on the kernel path.
+            # Genome-scale shallow levels (halves taller than the VMEM
+            # column cap): per-half dispatch -- band.score_pair chains
+            # boundary-mode band sweeps transparently
+            # (score_pair_chained). Levels that fit M_MAX instead run
+            # as ONE batched launch below (dispatch-minimal).
             cols_dev = []
             for p, (qlo, qhi, slo, shi) in enumerate(parts):
                 h, mid = hs[p], mids[p]
@@ -356,6 +372,8 @@ def _hb_global(q8, s8, off_i, off_j, out_q, out_s, scoring, engine,
                     root_score = score
                 classify((qlo, qlo + k + 1, slo, slo + mid))
                 classify((qlo + k + 1, qhi, slo + mid, shi))
+            _tlog(f"level P={P} maxh={max(hs)} maxmid={max(mids)} "
+                  f"path=per-half {(time.perf_counter()-_lt0)*1e3:.0f}ms")
             _save_level()
             continue
         Mb = batch._bucket(max(hs))
@@ -380,23 +398,31 @@ def _hb_global(q8, s8, off_i, off_j, out_q, out_s, scoring, engine,
             cols = np.asarray(dist_batch.last_cols_batch_sharded(
                 jnp.asarray(qarr), jnp.asarray(sarr),
                 jnp.asarray(ms), jnp.asarray(ns), scoring, mesh,
-            ))
+            )).T                                   # -> (B, M)
+        elif use_kernel and max(hs) <= band.M_MAX:
+            # ONE kernel launch for the whole level (grid over halves).
+            cols = np.asarray(band.score_pairs_batched(
+                qarr, sarr, ms, ns, Mode.GLOBAL, scoring,
+            )["last_cols"])
         else:
             cols = np.asarray(batch.last_cols_batch(
                 jnp.asarray(qarr), jnp.asarray(sarr),
                 jnp.asarray(ms), jnp.asarray(ns), scoring,
-            ))
+            )).T                                   # -> (B, M)
         for p, (qlo, qhi, slo, shi) in enumerate(parts):
             h, mid = hs[p], mids[p]
-            L = cols[:h, 2 * p].astype(np.int64)
-            Rv = cols[:h, 2 * p + 1].astype(np.int64)
+            L = cols[2 * p, :h].astype(np.int64)
+            Rv = cols[2 * p + 1, :h].astype(np.int64)
             k, score = _merge_halves(L, Rv, h, mid, shi - slo - mid, g)
             if root_score is None:
                 root_score = score
             classify((qlo, qlo + k + 1, slo, slo + mid))
             classify((qlo + k + 1, qhi, slo + mid, shi))
+        _tlog(f"level P={P} maxh={max(hs)} maxmid={max(mids)} "
+              f"path=batched {(time.perf_counter()-_lt0)*1e3:.0f}ms")
         _save_level()
 
+    _tt0 = time.perf_counter()
     # Terminal stripes, batched by shape bucket (chunk index `ci` is the
     # checkpoint resume unit).
     groups: dict[tuple[int, int], list] = {}
@@ -445,6 +471,8 @@ def _hb_global(q8, s8, off_i, off_j, out_q, out_s, scoring, engine,
                 )
             term_done = ci + 1
             _save_level()
+    _tlog(f"terminals n={len(terminals)} "
+          f"{(time.perf_counter()-_tt0)*1e3:.0f}ms")
     return root_score
 
 
@@ -635,12 +663,13 @@ def _hb_global_affine(q8, s8, off_i, off_j, out_q, out_s, sc, engine,
             _save_level()
             continue
 
-        if (mesh is None and use_kernel and P <= KERNEL_MAX_PARTS
+        if (mesh is None and use_kernel and max(hs) > band.M_MAX
+                and P <= KERNEL_MAX_PARTS
                 and min(mids) >= KERNEL_MIN_MID):
-            # Shallow/mid levels through the wavefront kernel (H and E
-            # last columns; start_gap per crossing-state flag). Halves
-            # taller than band.M_MAX chain boundary-mode band sweeps
-            # (score_pair_chained start_gap init).
+            # Genome-scale shallow levels through per-half kernel
+            # dispatch (H and E last columns; start_gap per
+            # crossing-state flag; score_pair_chained above M_MAX).
+            # Levels that fit M_MAX run as ONE batched launch below.
             outs_dev = []
             for p, (qlo, qhi, slo, shi, sg, eg) in enumerate(parts):
                 h, mid = hs[p], mids[p]
@@ -702,20 +731,30 @@ def _hb_global_affine(q8, s8, off_i, off_j, out_q, out_s, sc, engine,
                 jnp.asarray(ms), jnp.asarray(ns), sc,
                 jnp.asarray(sgaps), mesh,
             )
+            cols_h = np.asarray(cols_h).T          # -> (B, M)
+            cols_e = np.asarray(cols_e).T
+        elif use_kernel and max(hs) <= band.M_MAX:
+            # ONE kernel launch for the whole level (grid over halves;
+            # per-problem start_gap flags ride the dims rows).
+            outs = band.score_pairs_batched(
+                qarr, sarr, ms, ns, Mode.GLOBAL, sc, sgaps=sgaps,
+            )
+            cols_h = np.asarray(outs["last_cols"])
+            cols_e = np.asarray(outs["last_cols_e"])
         else:
             cols_h, cols_e = batch.last_cols_batch_affine(
                 jnp.asarray(qarr), jnp.asarray(sarr),
                 jnp.asarray(ms), jnp.asarray(ns), sc, jnp.asarray(sgaps),
             )
-        cols_h = np.asarray(cols_h)
-        cols_e = np.asarray(cols_e)
+            cols_h = np.asarray(cols_h).T          # -> (B, M)
+            cols_e = np.asarray(cols_e).T
         for p, (qlo, qhi, slo, shi, sg, eg) in enumerate(parts):
             h, mid = hs[p], mids[p]
             k, in_gap, score = _merge_halves_affine(
-                cols_h[:h, 2 * p].astype(np.int64),
-                cols_e[:h, 2 * p].astype(np.int64),
-                cols_h[:h, 2 * p + 1].astype(np.int64),
-                cols_e[:h, 2 * p + 1].astype(np.int64),
+                cols_h[2 * p, :h].astype(np.int64),
+                cols_e[2 * p, :h].astype(np.int64),
+                cols_h[2 * p + 1, :h].astype(np.int64),
+                cols_e[2 * p + 1, :h].astype(np.int64),
                 h, mid, shi - slo - mid, sc, sg, eg,
             )
             if root_score is None:
@@ -870,7 +909,9 @@ def align_hirschberg(query, subject, mode, scoring=LinearScoring(),
     if stage is not None and stage["stage"] >= 1:
         score, (ei, ej) = stage["score"], (stage["ei"], stage["ej"])
     else:
+        _ft0 = time.perf_counter()
         score, end = _find_end(q8, s8, mode, scoring, engine, mesh=mesh)
+        _tlog(f"fwd pass {(time.perf_counter()-_ft0)*1e3:.0f}ms")
         ei, ej = end
         if outer is not None:
             outer.save(stage=np.int64(1), score=np.int64(score),
@@ -890,6 +931,7 @@ def align_hirschberg(query, subject, mode, scoring=LinearScoring(),
     # boundary maps to the reverse matrix's last row/column).
     qr = q8[: ei + 1][::-1]
     sr = s8[: ej + 1][::-1]
+    _rt0 = time.perf_counter()
     if stage is not None and stage["stage"] >= 2:
         rscore, ri, rj = stage["rscore"], stage["ri"], stage["rj"]
     elif mode is Mode.LOCAL:
@@ -925,6 +967,7 @@ def align_hirschberg(query, subject, mode, scoring=LinearScoring(),
         if all_gap(nr) > rscore:
             rscore = all_gap(nr)
             ri, rj = -1, nr - 1
+    _tlog(f"rev pass {(time.perf_counter()-_rt0)*1e3:.0f}ms")
     if outer is not None and (stage is None or stage["stage"] < 2):
         outer.save(stage=np.int64(2), score=np.int64(score),
                    ei=np.int64(ei), ej=np.int64(ej),

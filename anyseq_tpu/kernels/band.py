@@ -136,7 +136,8 @@ def _rot_l(x, lane_iota):
 def _make_kernel(mode: Mode, sc, emit_col: bool, G: int,
                  emit_preds: bool = False, p_pl: int = 0,
                  boundary: bool = False, start_gap: bool = False,
-                 collective_axis: str | None = None):
+                 collective_axis: str | None = None,
+                 batched: bool = False):
     """Build the wavefront kernel body.
 
     ``boundary=False``: closed-form DP boundary (the top row / left column
@@ -165,12 +166,14 @@ def _make_kernel(mode: Mode, sc, emit_col: bool, G: int,
     local = mode is Mode.LOCAL
     is_global = mode is Mode.GLOBAL
     affine = isinstance(sc, AffineScoring)
-    if emit_preds and affine:
-        raise NotImplementedError(
-            "packed pred emission is linear-scoring only (affine fulltb "
-            "uses the XLA engine)"
-        )
     S = STAGGER
+    # Packed pred geometry: 2-bit codes (16 per int32 word) for linear
+    # scoring; 4-bit codes (PH 2 bits + PE/PF extend bits, 8 per word,
+    # xla_affine.score_rows_affine_with_preds layout) for affine.
+    PBITS = 4 if affine else 2
+    SPW = 32 // PBITS          # steps (codes) per packed word
+    PPF = 128 // SPW           # word planes per 128-step fill
+    SLOT = PPF * R             # staging rows per DMA slot
     if affine:
         go, ge = sc.gap_open, sc.gap_extend
     else:
@@ -195,33 +198,43 @@ def _make_kernel(mode: Mode, sc, emit_col: bool, G: int,
     if start_gap and not (affine and is_global):
         raise ValueError("start_gap is an affine GLOBAL (Myers-Miller) "
                          "subproblem flag")
+    if batched and (boundary or collective_axis or emit_preds or local
+                    or start_gap or not emit_col):
+        raise NotImplementedError(
+            "batched mode: closed-form GLOBAL/SEMIGLOBAL emit_col "
+            "problems only (start_gap rides the per-problem dims row)"
+        )
     if collective_axis and (not boundary or affine or emit_preds):
         raise NotImplementedError(
             "collective halo exchange requires boundary mode with "
             "linear scoring and no pred emission"
         )
 
-    def topval(j):
+    def _topval(j, sgd):
         """Boundary row cell(-1, j) (j may be negative: the corner
         chain), closed form (align.impala:85-90; affine: Gotoh init as
         in engine/xla_affine._col_bound; start_gap: the Myers-Miller
-        continuing-run init -- no gap_open, unreachable corner)."""
+        continuing-run init -- no gap_open, unreachable corner). ``sgd``
+        is the dynamic per-problem start_gap flag in batched mode."""
         if not is_global:
             return j * 0
         if affine:
-            if start_gap:
-                return jnp.where(j < 0, NEG, (j + 1) * ge)
-            return jnp.where(j < 0, 0, go + (j + 1) * ge)
+            normal = jnp.where(j < 0, 0, go + (j + 1) * ge)
+            sg = jnp.where(j < 0, NEG, (j + 1) * ge)
+            if sgd is not None:
+                return jnp.where(sgd == 1, sg, normal)
+            return sg if start_gap else normal
         return (j + 1) * gap
 
-    def colbound(t):
+    def _colbound(t, sgd):
         """Left boundary H[t][-1] of the very first window."""
         if not is_global:
             return 0
         if affine:
-            if start_gap:
-                return NEG
-            return go + (t + 1) * ge
+            normal = go + (t + 1) * ge
+            if sgd is not None:
+                return jnp.where(sgd == 1, NEG, normal)
+            return NEG if start_gap else normal
         return (t + 1) * gap
 
     def kernel(*refs):
@@ -251,9 +264,18 @@ def _make_kernel(mode: Mode, sc, emit_col: bool, G: int,
         if collective_axis:
             recv_sem = rest.pop(0)
             send_sem = rest.pop(0)
-        gr = pl.program_id(0)
-        m = dims_ref[0]
-        n = dims_ref[1]
+        if batched:
+            bidx = pl.program_id(0)
+            gr = pl.program_id(1)
+            m = dims_ref[bidx, 0]
+            n = dims_ref[bidx, 1]
+            sgap_dyn = dims_ref[bidx, 2] if affine else None
+        else:
+            gr = pl.program_id(0)
+            m = dims_ref[0]
+            n = dims_ref[1]
+            sgap_dyn = None
+        glast = pl.num_programs(1 if batched else 0) - 1
         mr_rows = q_ref.shape[0]          # M_pad // 128 (static)
         nrm = jax.lax.div(m + 127, 128)   # used colbuf rows (dynamic)
 
@@ -367,8 +389,8 @@ def _make_kernel(mode: Mode, sc, emit_col: bool, G: int,
                     flat_iota == 0, corner, _shift_r(tr, lane_iota)
                 )
             else:
-                d1_0 = topval(j0s[g] + flat_iota).astype(Score)
-                d2s_0 = topval(j0s[g] + flat_iota - 1).astype(Score)
+                d1_0 = _topval(j0s[g] + flat_iota, sgap_dyn).astype(Score)
+                d2s_0 = _topval(j0s[g] + flat_iota - 1, sgap_dyn).astype(Score)
             st = {
                 "d1": d1_0,
                 "d2s": d2s_0,
@@ -486,7 +508,7 @@ def _make_kernel(mode: Mode, sc, emit_col: bool, G: int,
                     # staged input column (already in colbuf).
                     d1s = _shift_r(d1, lane_iota)
                     if g == 0 and not boundary:
-                        lcb = jnp.where(gr == 0, colbound(t), colfeed)
+                        lcb = jnp.where(gr == 0, _colbound(t, sgap_dyn), colfeed)
                     else:
                         lcb = colfeed
                     d1s = jnp.where(flat_iota == 0, lcb, d1s)
@@ -590,36 +612,58 @@ def _make_kernel(mode: Mode, sc, emit_col: bool, G: int,
                                 _row_rdma(r_fl).start()
 
                     if emit_preds:
-                        # 2-bit predecessor code, priority diag > gap_q >
+                        # Predecessor code, priority diag > gap_q >
                         # gap_s, NONE when no candidate equals the cell
                         # (clamped local zeros) -- align.impala:37-64.
-                        # U=16 codes pack one int32 per position; bit
-                        # position is the static unroll index k.
-                        code = jnp.where(
-                            new == d2s + sub,
-                            3,
-                            jnp.where(
-                                new == d1s + gap,
-                                1,
-                                jnp.where(new == d1 + gap, 2, 0),
-                            ),
+                        # Affine: PH (same priority over diag/E/F) plus
+                        # PE/PF "extended" bits (1 = run continues) --
+                        # layout of score_rows_affine_with_preds. Bit
+                        # position is the static unroll phase kw.
+                        if affine:
+                            ph = jnp.where(
+                                new == d2s + sub,
+                                3,
+                                jnp.where(
+                                    new == e_new,
+                                    1,
+                                    jnp.where(new == f_new, 2, 0),
+                                ),
+                            )
+                            pe = jnp.where(
+                                e_new == d1s + (go + ge), 0, 1
+                            )
+                            pf = jnp.where(
+                                f_new == d1 + (go + ge), 0, 1
+                            )
+                            code = ph | (pe << 2) | (pf << 3)
+                        else:
+                            code = jnp.where(
+                                new == d2s + sub,
+                                3,
+                                jnp.where(
+                                    new == d1s + gap,
+                                    1,
+                                    jnp.where(new == d1 + gap, 2, 0),
+                                ),
+                            )
+                        kw = k % SPW
+                        packs[g] = code << (PBITS * kw) if kw == 0 else (
+                            packs[g] | (code << (PBITS * kw))
                         )
-                        kw = k % 16
-                        packs[g] = code << (2 * kw) if kw == 0 else (
-                            packs[g] | (code << (2 * kw))
-                        )
-                        if kw == 15:
+                        if kw == SPW - 1:
                             # Completed word plane for diagonals
-                            # [t-15, t]. Stage it; DMA a filled 64-row
-                            # slot (8 planes = 128 steps) to HBM.
+                            # [t-SPW+1, t]. Stage it; DMA a filled slot
+                            # (PPF planes = 128 steps) to HBM.
                             fill = jax.lax.div(t, 128)
                             slot = jax.lax.rem(fill, 2)
                             w_g = gr * G + g
                             in_range = jnp.logical_and(
                                 t0s[g] + k >= 0,
-                                fill * 8 + 8 <= p_pl,
+                                fill * PPF + PPF <= p_pl,
                             )
-                            first_plane = jax.lax.rem(t - 15, 128) == 0
+                            first_plane = (
+                                jax.lax.rem(t - (SPW - 1), 128) == 0
+                            )
                             last_plane = jax.lax.rem(t + 1, 128) == 0
 
                             # Before reusing a slot (fill >= 2), drain
@@ -631,17 +675,18 @@ def _make_kernel(mode: Mode, sc, emit_col: bool, G: int,
                             def _(slot=slot):
                                 pltpu.make_async_copy(
                                     packstage_s.at[
-                                        pl.ds(g * 128 + slot * 64, 64), :
+                                        pl.ds(g * 2 * SLOT + slot * SLOT,
+                                              SLOT), :
                                     ],
-                                    pred_out_ref.at[pl.ds(0, 64), :],
+                                    pred_out_ref.at[pl.ds(0, SLOT), :],
                                     pack_sem.at[g, slot],
                                 ).wait()
 
                             @pl.when(in_range)
                             def _(pk=packs[g], fill=fill, slot=slot):
-                                prow = (g * 128 + slot * 64
+                                prow = (g * 2 * SLOT + slot * SLOT
                                         + jax.lax.rem(
-                                            jax.lax.div(t, 16), 8
+                                            jax.lax.div(t, SPW), PPF
                                         ) * R)
                                 packstage_s[pl.ds(prow, R), :] = pk
 
@@ -650,12 +695,13 @@ def _make_kernel(mode: Mode, sc, emit_col: bool, G: int,
                                 True,
                             ))
                             def _(fill=fill, slot=slot, w_g=w_g):
-                                dst = w_g * (p_pl * R) + fill * 64
+                                dst = w_g * (p_pl * R) + fill * SLOT
                                 pltpu.make_async_copy(
                                     packstage_s.at[
-                                        pl.ds(g * 128 + slot * 64, 64), :
+                                        pl.ds(g * 2 * SLOT + slot * SLOT,
+                                              SLOT), :
                                     ],
-                                    pred_out_ref.at[pl.ds(dst, 64), :],
+                                    pred_out_ref.at[pl.ds(dst, SLOT), :],
                                     pack_sem.at[g, slot],
                                 ).start()
 
@@ -760,15 +806,16 @@ def _make_kernel(mode: Mode, sc, emit_col: bool, G: int,
                 rowf_out_ref[g * R:(g + 1) * R, :] = st["lastrowf"]
             if emit_preds:
                 # Outstanding pred DMAs: at most the last two fills.
-                nf = jnp.minimum(jax.lax.div(T, 128), p_pl // 8)
+                nf = jnp.minimum(jax.lax.div(T, 128), p_pl // PPF)
 
                 def _wait(f, g=g):
                     pltpu.make_async_copy(
                         packstage_s.at[
-                            pl.ds(g * 128 + jax.lax.rem(f, 2) * 64, 64),
+                            pl.ds(g * 2 * SLOT
+                                  + jax.lax.rem(f, 2) * SLOT, SLOT),
                             :,
                         ],
-                        pred_out_ref.at[pl.ds(0, 64), :],
+                        pred_out_ref.at[pl.ds(0, SLOT), :],
                         pack_sem.at[g, jax.lax.rem(f, 2)],
                     ).wait()
 
@@ -827,7 +874,7 @@ def _make_kernel(mode: Mode, sc, emit_col: bool, G: int,
                     smem_s[1] = gi
                     smem_s[2] = gj
 
-        @pl.when(gr == pl.num_programs(0) - 1)
+        @pl.when(gr == glast)
         def _():
             best_out_ref[0] = smem_s[0]
             best_out_ref[1] = smem_s[1]
@@ -915,8 +962,10 @@ def _score_padded(q2, s2, m, n, mode: Mode, sc: LinearScoring,
     affine = isinstance(sc, AffineScoring)
     # ecol staging: one (R,128) chunk per W steps of the edge sweep.
     stage_rows = (_round_up(M_pad + 2 * W, W) // W) * R
-    # packed preds: one int32 word plane (R,128) per 16 diagonal steps.
-    p_pl = (M_pad + 2 * W) // 16
+    # packed preds: one int32 word plane (R,128) per 16 diagonal steps
+    # (8 for affine 4-bit codes).
+    spw = 8 if affine else 16
+    p_pl = (M_pad + 2 * W) // spw
 
     kernel = _make_kernel(mode, sc, emit_col, G, emit_preds, p_pl,
                           start_gap=start_gap)
@@ -945,8 +994,9 @@ def _score_padded(q2, s2, m, n, mode: Mode, sc: LinearScoring,
             (num_windows * p_pl * R, LANES), jnp.int32
         ))
         out_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+        slot = (128 // spw) * R
         scratch += [
-            pltpu.VMEM((G * 128, LANES), jnp.int32),  # pack staging
+            pltpu.VMEM((G * 2 * slot, LANES), jnp.int32),  # pack staging
             pltpu.SemaphoreType.DMA((G, 2)),
         ]
 
@@ -1018,7 +1068,8 @@ def _score_band_padded(q2, s2, row2, col2, corners, m, n, mode: Mode, sc,
     num_windows = N_pad // W
     MR = M_pad // LANES
     stage_rows = (_round_up(M_pad + 2 * W, W) // W) * R
-    p_pl = (M_pad + 2 * W) // 16
+    spw = 8 if affine else 16
+    p_pl = (M_pad + 2 * W) // spw
 
     kernel = _make_kernel(mode, sc, emit_col, G, emit_preds, p_pl,
                           boundary=True, collective_axis=collective_axis)
@@ -1079,8 +1130,9 @@ def _score_band_padded(q2, s2, row2, col2, corners, m, n, mode: Mode, sc,
         scratch.append(pltpu.VMEM((MR, LANES), Score))  # E colbuf
     scratch.append(pltpu.SMEM((8,), jnp.int32))
     if emit_preds:
+        slot = (128 // spw) * R
         scratch += [
-            pltpu.VMEM((G * 128, LANES), jnp.int32),
+            pltpu.VMEM((G * 2 * slot, LANES), jnp.int32),
             pltpu.SemaphoreType.DMA((G, 2)),
         ]
     kwargs = {}
@@ -1131,6 +1183,153 @@ def _score_band_padded(q2, s2, row2, col2, corners, m, n, mode: Mode, sc,
         res["packed_preds"] = outs.pop(0)
         res["p_pl"] = p_pl
     return res
+
+
+@functools.partial(
+    jax.jit, static_argnames=("mode", "sc", "G", "GP", "interpret")
+)
+def _score_batched_padded(q3, s3, dims, mode: Mode, sc, G: int, GP: int,
+                          interpret=False):
+    """Many independent closed-form problems in ONE kernel launch.
+
+    q3: (B*MRb, 128) per-problem query blocks; s3: (B*GP*G*R, 128)
+    per-problem subject blocks; dims: (B, 4) int32 [m, n, sgap, 0].
+    Grid (B, GP): one grid row per problem, GP window groups each.
+    Returns stacked last_row / ecol staging (+ E staging for affine).
+    """
+    affine = isinstance(sc, AffineScoring)
+    B = dims.shape[0]
+    MRb = q3.shape[0] // B
+    M_pad = MRb * LANES
+    stage_rows = (_round_up(M_pad + 2 * W, W) // W) * R
+
+    kernel = _make_kernel(mode, sc, emit_col=True, G=G, batched=True)
+
+    out_shape = [
+        jax.ShapeDtypeStruct((B * GP * G * R, LANES), Score),  # last_row
+        jax.ShapeDtypeStruct((B * stage_rows, LANES), Score),  # ecol st.
+    ]
+    out_specs = [
+        pl.BlockSpec((G * R, LANES), lambda b, gp: (b * GP + gp, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((stage_rows, LANES), lambda b, gp: (b, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    if affine:
+        out_shape.append(
+            jax.ShapeDtypeStruct((B * stage_rows, LANES), Score)
+        )
+        out_specs.append(
+            pl.BlockSpec((stage_rows, LANES), lambda b, gp: (b, 0),
+                         memory_space=pltpu.VMEM)
+        )
+    out_shape.append(jax.ShapeDtypeStruct((4,), jnp.int32))
+    out_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+
+    scratch = [pltpu.VMEM((MRb, LANES), Score)]
+    if affine:
+        scratch.append(pltpu.VMEM((MRb, LANES), Score))
+    scratch.append(pltpu.SMEM((8,), jnp.int32))
+
+    outs = list(pl.pallas_call(
+        kernel,
+        grid=(B, GP),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # dims (B, 4)
+            pl.BlockSpec((MRb, LANES), lambda b, gp: (b, 0),
+                         memory_space=pltpu.VMEM),   # q per problem
+            pl.BlockSpec((G * R, LANES), lambda b, gp: (b * GP + gp, 0),
+                         memory_space=pltpu.VMEM),   # s per group
+        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=scratch,
+        interpret=interpret,
+    )(dims, q3, s3))
+    row_out = outs.pop(0)
+    ecol_stage = outs.pop(0).reshape(B, stage_rows, LANES)
+    ns = dims[:, 1]
+    unrot = jax.vmap(
+        lambda st, n_: _unrotate_ecol(st, MRb, jnp.int32(0), n_)
+    )
+    res = {
+        "last_rows": row_out.reshape(B, GP * G * R * LANES),
+        "last_cols": unrot(ecol_stage, ns),          # (B, M_pad)
+    }
+    if affine:
+        ecole_stage = outs.pop(0).reshape(B, stage_rows, LANES)
+        res["last_cols_e"] = unrot(ecole_stage, ns)
+    return res
+
+
+def score_pairs_batched(qarr, sarr, ms, ns, mode: Mode, sc,
+                        sgaps=None, interpret: bool = False):
+    """Batch of independent closed-form GLOBAL/SEMIGLOBAL problems, ONE
+    kernel dispatch total (grid over problems) -- the construction-level
+    engine (one call per Hirschberg divide level; the reference runs the
+    same hot loop for halves, iteration_cpu.impala:59-119).
+
+    qarr: (B, Lq) int32 (any padding; rows >= ms[b] are re-padded);
+    sarr: (B, Ls) int32; ms/ns: per-problem true lengths (host ints);
+    sgaps: optional per-problem affine Myers-Miller start_gap flags.
+
+    Returns dict with last_cols (B, M_pad) [+ last_cols_e affine].
+    """
+    mode = Mode.parse(mode)
+    if mode is Mode.LOCAL:
+        raise NotImplementedError("batched kernel mode: GLOBAL/SEMIGLOBAL")
+    affine = isinstance(sc, AffineScoring)
+    ms = np.asarray(ms, np.int64)
+    ns = np.asarray(ns, np.int64)
+    B = int(ms.shape[0])
+    m_max, n_max = int(ms.max()), int(ns.max())
+    Mb = _bucket(m_max, W)
+    if Mb - m_max < LANES:
+        Mb = _round_up(m_max + LANES, W)
+    if Mb > M_MAX:
+        raise ValueError(f"batched kernel mode supports m <= {M_MAX}")
+    # Chain count / padded width from the same measured cost model as
+    # the single-problem path (stagger warmup and round-up padding are
+    # both per problem here, exactly what _pick_g trades off).
+    G = _pick_g(m_max, n_max, emit_col=True, affine=affine)
+    Nb = _round_up(_bucket(n_max, W), G * W)
+    GP = Nb // (G * W)
+
+    # The per-problem dims rows live in SMEM, where each scalar pads to
+    # ~128 bytes -- chunk the batch so the dims window stays small.
+    CHUNK = 256
+    if B > CHUNK:
+        parts = [
+            score_pairs_batched(
+                qarr[lo:lo + CHUNK], sarr[lo:lo + CHUNK],
+                ms[lo:lo + CHUNK], ns[lo:lo + CHUNK], mode, sc,
+                sgaps=None if sgaps is None
+                else np.asarray(sgaps)[lo:lo + CHUNK],
+                interpret=interpret,
+            )
+            for lo in range(0, B, CHUNK)
+        ]
+        return {
+            k: jnp.concatenate([p[k] for p in parts], axis=0)
+            for k in parts[0]
+        }
+
+    q3 = np.full((B, Mb), PAD_Q, np.int32)
+    s3 = np.full((B, Nb), PAD_S, np.int32)
+    for b in range(B):
+        q3[b, : ms[b]] = np.asarray(qarr[b])[: ms[b]]
+        s3[b, : ns[b]] = np.asarray(sarr[b])[: ns[b]]
+    dims = np.zeros((B, 4), np.int32)
+    dims[:, 0] = ms
+    dims[:, 1] = ns
+    if sgaps is not None:
+        dims[:, 2] = np.asarray(sgaps, np.int32)
+
+    return _score_batched_padded(
+        jnp.asarray(q3.reshape(B * (Mb // LANES), LANES)),
+        jnp.asarray(s3.reshape(B * (Nb // LANES), LANES)),
+        jnp.asarray(dims), mode, sc, G, GP, interpret=interpret,
+    )
 
 
 def _band_corners(row_in_flat, corner, num_windows):
@@ -1292,21 +1491,25 @@ def supports(m: int) -> bool:
     return m <= M_MAX
 
 
-def unpack_preds_host(packed, p_pl: int, m: int, n: int):
+def unpack_preds_host(packed, p_pl: int, m: int, n: int,
+                      affine: bool = False):
     """Dense (m, n) uint8 predecessor matrix from the kernel's packed
     diagonal-major layout (testing / host traceback).
 
     Word for cell (i, j): window w = j // W, position p = j % W, diagonal
-    t = i + p; flat word index = (w * p_pl + t // 16) * W + p; the code is
-    bits [2*(t%16), 2*(t%16)+2)."""
+    t = i + p; flat word index = (w * p_pl + t // spw) * W + p; the code
+    is bits [pbits*(t%spw), pbits*(t%spw)+pbits) with (spw, pbits) =
+    (16, 2) for linear scoring, (8, 4) for affine (PH | PE<<2 | PF<<3)."""
+    spw, pbits = (8, 4) if affine else (16, 2)
+    mask = (1 << pbits) - 1
     flat = np.asarray(packed).reshape(-1)
     i = np.arange(m)[:, None]
     j = np.arange(n)[None, :]
     w = j // W
     p = j % W
     t = i + p
-    idx = (w * p_pl + t // 16) * W + p
-    return ((flat[idx] >> (2 * (t % 16))) & 3).astype(np.uint8)
+    idx = (w * p_pl + t // spw) * W + p
+    return ((flat[idx] >> (pbits * (t % spw))) & mask).astype(np.uint8)
 
 
 def score_pair(qp, sp, m, n, mode: Mode, sc,
