@@ -52,12 +52,13 @@ def _prep(query, subject):
     return q, s, m, n, qp, sp
 
 
-def _run_score(qp, sp, m, n, mode, scoring, engine):
+def _run_score(qp, sp, m, n, mode, scoring, engine, need_pos=True):
     if engine in ("auto", "pallas"):
         from anyseq_tpu.kernels import band as band_kernel
 
         if band_kernel.available() or engine == "pallas":
-            return band_kernel.score_pair(qp, sp, m, n, mode, scoring)
+            return band_kernel.score_pair(qp, sp, m, n, mode, scoring,
+                                          need_pos=need_pos)
     if isinstance(scoring, AffineScoring):
         from anyseq_tpu.engine import xla_affine
 
@@ -70,7 +71,11 @@ def align_score(query, subject, mode="global", scoring=LinearScoring(),
     """Score-only alignment (reference: *_alignment_score, export.impala)."""
     mode = Mode.parse(mode)
     _, _, m, n, qp, sp = _prep(query, subject)
-    outs = _run_score(qp, sp, m, n, mode, scoring, engine)
+    # Score-only: the reference's score() returns the score alone
+    # (align.impala:218-235), so the LOCAL kernel may drop its per-step
+    # improvement-position tracking (need_pos=False).
+    outs = _run_score(qp, sp, m, n, mode, scoring, engine,
+                      need_pos=False)
     score, _ = xla_linmem.extract_score_from_outputs(outs, m, n, mode, scoring)
     return score
 

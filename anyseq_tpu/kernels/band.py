@@ -56,8 +56,12 @@ every read of a row precedes the overwrite of that row by construction
 of the stagger.
 
 Grid: (num_groups,), sequential; each grid step runs G windows to
-completion (T + (G-1)*S steps). Scores are int32; relaxation is
-max-of-three with the reference's strict-> tie-breaking.
+completion (T + (G-1)*S steps). On the closed-form path the kernel
+instead runs in PERSISTENT mode when the shape allows: one grid step,
+chains continuously reborn onto the next window group, paying the
+(G-1)*S pipeline fill once per call instead of once per group (~18%
+of wall time at the 100k headline shape). Scores are int32; relaxation
+is max-of-three with the reference's strict-> tie-breaking.
 
 Capacity: the column scratch is O(M) VMEM, capping single-call height at
 M_MAX rows; taller problems fall back to the XLA engine or the sharded
@@ -117,27 +121,31 @@ U = 16
 M_MAX = 512 * 1024
 
 
-def _shift_r(x, lane_iota):
+def _shift_r(x, lane0):
     """shifted[p] = x[p-1] (row-major). Position (0,0) gets wrap garbage
-    (always overwritten by an insert)."""
+    (always overwritten by an insert). ``lane0`` is the hoisted
+    lane_iota == 0 mask (precomputed once; re-materializing the iota
+    compare per step costs a VPU op on the hot path)."""
     a = pltpu.roll(x, 1, 1)
     b = pltpu.roll(a, 1, 0)
-    return jnp.where(lane_iota == 0, b, a)
+    return jnp.where(lane0, b, a)
 
 
-def _rot_l(x, lane_iota):
+def _rot_l(x, lane_last):
     """True flat rotation by one position left over (R,128) row-major:
-    position p gets x[(p+1) % W]."""
+    position p gets x[(p+1) % W]. ``lane_last`` is the hoisted
+    lane_iota == LANES-1 mask."""
     a = pltpu.roll(x, LANES - 1, 1)
     b = pltpu.roll(a, R - 1, 0)
-    return jnp.where(lane_iota == LANES - 1, b, a)
+    return jnp.where(lane_last, b, a)
 
 
 def _make_kernel(mode: Mode, sc, emit_col: bool, G: int,
                  emit_preds: bool = False, p_pl: int = 0,
                  boundary: bool = False, start_gap: bool = False,
                  collective_axis: str | None = None,
-                 batched: bool = False):
+                 batched: bool = False, persistent: int = 0,
+                 need_pos: bool = True):
     """Build the wavefront kernel body.
 
     ``boundary=False``: closed-form DP boundary (the top row / left column
@@ -151,6 +159,25 @@ def _make_kernel(mode: Mode, sc, emit_col: bool, G: int,
     vectors (scoring.impala:218-259): chaining bands lifts the M_MAX
     VMEM cap, and feeding columns from a neighbor chip turns it into the
     sharded stripe wavefront.
+
+    ``persistent`` (closed-form only; value = number of window groups
+    NG): run the WHOLE sweep as one grid step with continuously reborn
+    chains. In grid mode every group waits for its slowest chain before
+    the next group starts, idling each chain (G-1)*STAGGER steps per
+    group (~18% at the 100k headline shape); in persistent mode a chain
+    that finishes its window is reborn immediately at window + G, so the
+    stagger is paid ONCE per call. Chains carry their local clock
+    (step-in-epoch and epoch index) as scalars in the loop carry --
+    incremental adds, no divisions -- and retire a finished window's
+    outputs in-loop under ``pl.when`` before rebirth. The in-place
+    column-scratch discipline extends across epochs provided
+    (G-1)*STAGGER + W + 126 < T (chain 0's epoch-k read of a column row
+    must follow chain G-1's epoch-(k-1) write); callers enforce it.
+
+    ``need_pos=False`` (LOCAL fast path): track only the running max --
+    the reference's score() returns the score alone (align.impala:
+    218-235) -- dropping the per-step improvement-position select pair;
+    ``best`` reports (score, -1, -1).
 
     ``collective_axis`` (requires boundary, linear scoring): the stripe
     wavefront becomes a single persistent collective kernel per chip.
@@ -208,6 +235,12 @@ def _make_kernel(mode: Mode, sc, emit_col: bool, G: int,
         raise NotImplementedError(
             "collective halo exchange requires boundary mode with "
             "linear scoring and no pred emission"
+        )
+    if persistent and (boundary or batched or collective_axis
+                       or emit_preds):
+        raise NotImplementedError(
+            "persistent chains: closed-form mode only (no boundary/"
+            "batched/collective/pred emission)"
         )
 
     def _topval(j, sgd):
@@ -361,20 +394,83 @@ def _make_kernel(mode: Mode, sc, emit_col: bool, G: int,
         # t = 128*(nrm-1) + W + 126; ecol needs a flush at
         # t >= m-1+edge (+W margin covers any edge in [0, W)).
         T = 128 * nrm + W + (W if emit_col else 0)
-        T_total = T + (G - 1) * S
+        if persistent:
+            # One extra block so the last chain's final epoch-wrap
+            # retire (checked at block START) fires inside the loop.
+            T_total = persistent * T + (G - 1) * S + U
+            NWIN = persistent * G          # total windows (static)
+            s_syms = j0s = edges = is_edge = emask = None
+        else:
+            T_total = T + (G - 1) * S
+            s_syms = [s_ref[g * R:(g + 1) * R, :] for g in range(G)]
+
+            # Per-chain static-at-trace-time values depending only on g.
+            j0s = [(gr * G + g) * W for g in range(G)]
+            edges = [n - 1 - j0s[g] for g in range(G)]
+            is_edge = [jnp.logical_and(edges[g] >= 0, edges[g] < W)
+                       for g in range(G)]
+            emask = [flat_iota == edges[g] for g in range(G)]
 
         zero8 = jnp.zeros((R, LANES), Score)
-        zrow = jnp.zeros((1, LANES), Score)
-        s_syms = [s_ref[g * R:(g + 1) * R, :] for g in range(G)]
 
-        # Per-chain static-at-trace-time values that depend only on g.
-        j0s = [(gr * G + g) * W for g in range(G)]
-        edges = [n - 1 - j0s[g] for g in range(G)]
-        is_edge = [jnp.logical_and(edges[g] >= 0, edges[g] < W)
-                   for g in range(G)]
-        emask = [flat_iota == edges[g] for g in range(G)]
+        def _merge_best(st, j0_val):
+            """Merge a retiring LOCAL window's running max into the
+            running best in SMEM, preserving row-major first-occurrence
+            tie-breaking (smallest i, then smallest j) -- the
+            reference's strict-> argmax (utils.impala:38-48). Windows
+            merge in ascending-j0 program order, so cross-window ties
+            keep the leftmost."""
+            vmax = st["vmax"]
+            if not need_pos:
+                mval = jnp.max(vmax)
 
-        def fresh_state(g):
+                @pl.when(mval > smem_s[0])
+                def _(mval=mval):
+                    smem_s[0] = mval
+                return
+            if fast_local:
+                # Recover i = t - p from the stored improvement step.
+                vimax = st["vtmax"] - flat_iota
+            else:
+                vimax = st["vimax"]
+            mval = jnp.max(vmax)
+            icand = jnp.where(vmax == mval, vimax, jnp.int32(2**30))
+            imin = jnp.min(icand)
+            jcand = jnp.where(
+                jnp.logical_and(vmax == mval, vimax == imin),
+                flat_iota, jnp.int32(2**30),
+            )
+            jmin = jnp.min(jcand)
+            gi = imin
+            gj = j0_val + jmin
+            if fast_local:
+                # mval == 0 (no positive cell anywhere): never-improved
+                # positions hold garbage vtmax; report the
+                # first-occurrence zero cell (0, 0), matching the
+                # masked path / the oracle.
+                pos_ok = mval > 0
+                gi = jnp.where(pos_ok, gi, 0)
+                gj = jnp.where(pos_ok, gj, 0)
+            better = jnp.logical_or(
+                mval > smem_s[0],
+                jnp.logical_and(
+                    mval == smem_s[0],
+                    jnp.logical_or(
+                        gi < smem_s[1],
+                        jnp.logical_and(
+                            gi == smem_s[1], gj < smem_s[2]
+                        ),
+                    ),
+                ),
+            )
+
+            @pl.when(better)
+            def _(mval=mval, gi=gi, gj=gj):
+                smem_s[0] = mval
+                smem_s[1] = gi
+                smem_s[2] = gj
+
+        def fresh_state(g, j0_dyn=None):
             # Birth places the ENTIRE boundary top row into d1/d2s:
             # positions > t keep these values (the step update masks
             # them out) and are consumed exactly when the sweep front
@@ -386,11 +482,13 @@ def _make_kernel(mode: Mode, sc, emit_col: bool, G: int,
                 corner = corners_ref[gr * G + g]
                 d1_0 = tr
                 d2s_0 = jnp.where(
-                    flat_iota == 0, corner, _shift_r(tr, lane_iota)
+                    flat_iota == 0, corner, _shift_r(tr, lane_iota == 0)
                 )
             else:
-                d1_0 = _topval(j0s[g] + flat_iota, sgap_dyn).astype(Score)
-                d2s_0 = _topval(j0s[g] + flat_iota - 1, sgap_dyn).astype(Score)
+                j0v = j0_dyn if persistent else j0s[g]
+                d1_0 = _topval(j0v + flat_iota, sgap_dyn).astype(Score)
+                d2s_0 = _topval(j0v + flat_iota - 1,
+                                sgap_dyn).astype(Score)
             st = {
                 "d1": d1_0,
                 "d2s": d2s_0,
@@ -409,7 +507,8 @@ def _make_kernel(mode: Mode, sc, emit_col: bool, G: int,
             if local:
                 if fast_local:
                     st["vmax"] = zero8
-                    st["vtmax"] = jnp.zeros((R, LANES), jnp.int32)
+                    if need_pos:
+                        st["vtmax"] = jnp.zeros((R, LANES), jnp.int32)
                 else:
                     st["vmax"] = jnp.full((R, LANES), SCORE_MIN, Score)
                     st["vimax"] = jnp.zeros((R, LANES), jnp.int32)
@@ -428,18 +527,68 @@ def _make_kernel(mode: Mode, sc, emit_col: bool, G: int,
 
         def block(b, carry):
             tau0 = b * U
-            t0s = [tau0 - g * S for g in range(G)]
+            if persistent:
+                t0s = [None] * G
+                lives = [None] * G
+                j0d = [None] * G
+                s_blk = [None] * G
+                edge_d = [None] * G
+                is_edge_d = [None] * G
+                emask_d = [None] * G
+                epochs_out = [None] * G
+            else:
+                t0s = [tau0 - g * S for g in range(G)]
             sts = []
             # Per-chain block-level events, then the step loop interleaves
             # one step of EVERY chain before advancing (k outer, g inner):
             # the G dependency chains are independent, so interleaving
             # fills the VPU pipeline that a single chain leaves stalled.
             for g in range(G):
-                t0 = t0s[g]
-                fs = fresh_state(g)
-                # Chain (re)birth: local step 0 resets the rolling state.
-                st = {key: jnp.where(t0 == 0, fs[key], v)
-                      for key, v in carry[g].items()}
+                if persistent:
+                    # Incremental per-chain clock (no divisions): t0 =
+                    # epoch-local step at block start (negative before
+                    # birth), epoch = window-group index. On wrap
+                    # (t0 == T) retire the finished window's outputs,
+                    # then rebirth at window + G.
+                    cst = dict(carry[g])
+                    t0_prev = cst.pop("_t0")
+                    epoch = cst.pop("_epoch")
+                    wrap = t0_prev == T
+                    retire = jnp.logical_and(wrap, epoch < persistent)
+                    if local:
+                        @pl.when(retire)
+                        def _(cst=cst, epoch=epoch, g=g):
+                            _merge_best(cst, (epoch * G + g) * W)
+                    else:
+                        wp = (epoch * G + g) * R
+
+                        @pl.when(retire)
+                        def _(cst=cst, wp=wp):
+                            row_out_ref[pl.ds(wp, R), :] = cst["lastrow"]
+                    epoch = epoch + wrap.astype(jnp.int32)
+                    t0 = jnp.where(wrap, 0, t0_prev)
+                    epochs_out[g] = epoch
+                    t0s[g] = t0
+                    lives[g] = epoch < persistent
+                    wgc = jnp.minimum(epoch * G + g, NWIN - 1)
+                    j0d[g] = wgc * W
+                    s_blk[g] = s_ref[pl.ds(wgc * R, R), :]
+                    if emit_col:
+                        edge_d[g] = n - 1 - j0d[g]
+                        is_edge_d[g] = jnp.logical_and(
+                            edge_d[g] >= 0, edge_d[g] < W
+                        )
+                        emask_d[g] = flat_iota == edge_d[g]
+                    fs = fresh_state(g, j0_dyn=j0d[g])
+                    st = {key: jnp.where(t0 == 0, fs[key], v)
+                          for key, v in cst.items()}
+                else:
+                    t0 = t0s[g]
+                    fs = fresh_state(g)
+                    # Chain (re)birth: local step 0 resets the rolling
+                    # state.
+                    st = {key: jnp.where(t0 == 0, fs[key], v)
+                          for key, v in carry[g].items()}
                 # Chunk reloads every 128 steps (row = t/128, clamped;
                 # values are only consumed while 0 <= t < m).
                 t0c = jnp.maximum(t0, 0)
@@ -481,13 +630,16 @@ def _make_kernel(mode: Mode, sc, emit_col: bool, G: int,
             # Hoisted local-mode column-validity masks (loop-invariant;
             # per block rather than per kernel to keep them out of the
             # long-lived register set). The fast local path needs none.
-            jvalid = ([j0s[g] + flat_iota < n for g in range(G)]
+            _j0 = j0d if persistent else j0s
+            jvalid = ([_j0[g] + flat_iota < n for g in range(G)]
                       if (local and not fast_local) else None)
-            # Hoisted stream-insert masks (constants).
-            acc_mask = jnp.logical_and(sub_iota == 2,
-                                       lane_iota == LANES - 1)
-            acc_e_mask = jnp.logical_and(sub_iota == 4,
-                                         lane_iota == LANES - 1)
+            # Hoisted stream-insert masks (constants; block-local so
+            # their live range does not tax the long-lived register set).
+            lane0 = lane_iota == 0
+            lane_last = lane_iota == LANES - 1
+            flat0 = flat_iota == 0
+            acc_mask = jnp.logical_and(sub_iota == 2, lane_last)
+            acc_e_mask = jnp.logical_and(sub_iota == 4, lane_last)
             for k in range(U):
                 for g in range(G):
                     t = t0s[g] + k
@@ -499,22 +651,26 @@ def _make_kernel(mode: Mode, sc, emit_col: bool, G: int,
 
                     # Query symbol entering the diagonal at position 0:
                     # q[t] == qfeed lane 0 (purely positional select).
-                    qd = _shift_r(qd, lane_iota)
-                    qd = jnp.where(flat_iota == 0, qfeed, qd)
+                    qd = _shift_r(qd, lane0)
+                    qd = jnp.where(flat0, qfeed, qd)
 
                     # Left boundary cell(t, j0-1) at position 0. The very
                     # first window uses the closed-form init column
                     # (scoring.impala:224) -- or, in boundary mode, the
                     # staged input column (already in colbuf).
-                    d1s = _shift_r(d1, lane_iota)
+                    d1s = _shift_r(d1, lane0)
                     if g == 0 and not boundary:
-                        lcb = jnp.where(gr == 0, _colbound(t, sgap_dyn), colfeed)
+                        first0 = (epochs_out[0] == 0) if persistent \
+                            else (gr == 0)
+                        lcb = jnp.where(first0, _colbound(t, sgap_dyn),
+                                        colfeed)
                     else:
                         lcb = colfeed
-                    d1s = jnp.where(flat_iota == 0, lcb, d1s)
+                    d1s = jnp.where(flat0, lcb, d1s)
 
                     sub = jnp.where(
-                        qd == s_syms[g], sc.match, sc.mismatch
+                        qd == (s_blk[g] if persistent else s_syms[g]),
+                        sc.match, sc.mismatch
                     ).astype(Score)
 
                     if affine:
@@ -524,12 +680,14 @@ def _make_kernel(mode: Mode, sc, emit_col: bool, G: int,
                         f_new = jnp.maximum(
                             d1 + (go + ge), st["f"] + ge
                         )
-                        e_s = _shift_r(st["e"], lane_iota)
+                        e_s = _shift_r(st["e"], lane0)
                         if g == 0 and not boundary:
-                            eb = jnp.where(gr == 0, NEG, streams[3:4, :])
+                            first0 = (epochs_out[0] == 0) if persistent \
+                                else (gr == 0)
+                            eb = jnp.where(first0, NEG, streams[3:4, :])
                         else:
                             eb = streams[3:4, :]
-                        e_s = jnp.where(flat_iota == 0, eb, e_s)
+                        e_s = jnp.where(flat0, eb, e_s)
                         e_new = jnp.maximum(d1s + (go + ge), e_s + ge)
                         T_ = jnp.maximum(d2s + sub, f_new)
                         if local:
@@ -574,12 +732,18 @@ def _make_kernel(mode: Mode, sc, emit_col: bool, G: int,
                     st["streams"] = streams
                     if k % 16 == 14:
                         # t % 128 == 126 can land here (all chains share
-                        # phase since S % 128 == 0).
+                        # phase since S % 128 == 0 and T % 128 == 0).
                         r_fl = jax.lax.div(t - W - 126, 128)
                         flush_ok = jnp.logical_and(
                             jax.lax.rem(t + 2, 128) == 0,
                             jnp.logical_and(r_fl >= 0, r_fl < nrm),
                         )
+                        if persistent:
+                            # Ghost epochs past the last window must not
+                            # overwrite the shared column scratch.
+                            flush_ok = jnp.logical_and(
+                                flush_ok, lives[g]
+                            )
 
                         @pl.when(flush_ok)
                         def _(cs=streams, r_fl=r_fl):
@@ -720,8 +884,12 @@ def _make_kernel(mode: Mode, sc, emit_col: bool, G: int,
                         # penalties + out-of-range pads), so no validity
                         # masks are needed. Store the step t of the first
                         # strict improvement; i = t - p at drain time.
-                        better = new > st["vmax"]
-                        st["vtmax"] = jnp.where(better, t, st["vtmax"])
+                        # Score-only callers (need_pos=False) drop the
+                        # improvement-select pair entirely.
+                        if need_pos:
+                            better = new > st["vmax"]
+                            st["vtmax"] = jnp.where(better, t,
+                                                    st["vtmax"])
                         st["vmax"] = jnp.maximum(st["vmax"], new)
                     elif local:
                         # valid = 0 <= i < m (one unsigned compare on
@@ -744,21 +912,29 @@ def _make_kernel(mode: Mode, sc, emit_col: bool, G: int,
                         # they ride free issue slots off the critical
                         # chain). Affine also collects the E column (the
                         # Myers-Miller merge needs E[i][n-1]).
-                        ecol = jnp.where(emask[g], new,
-                                         _rot_l(st["ecol"], lane_iota))
+                        _em = emask_d[g] if persistent else emask[g]
+                        ecol = jnp.where(_em, new,
+                                         _rot_l(st["ecol"], lane_last))
                         st["ecol"] = ecol
                         if affine:
                             ecole = jnp.where(
-                                emask[g], st["e"],
-                                _rot_l(st["ecole"], lane_iota),
+                                _em, st["e"],
+                                _rot_l(st["ecole"], lane_last),
                             )
                             st["ecole"] = ecole
                         if k % 16 == 14:
                             c_fl = jax.lax.div(t + 2 - W, W)
+                            _ie = (is_edge_d[g] if persistent
+                                   else is_edge[g])
+                            if persistent:
+                                # Dead chains clamp to the LAST window,
+                                # which is often the true edge window --
+                                # suppress their ghost flushes.
+                                _ie = jnp.logical_and(_ie, lives[g])
                             flush_col = jnp.logical_and(
                                 jnp.logical_and(
                                     jax.lax.rem(t + 2, W) == 0,
-                                    is_edge[g],
+                                    _ie,
                                 ),
                                 jnp.logical_and(
                                     c_fl >= 0,
@@ -791,15 +967,29 @@ def _make_kernel(mode: Mode, sc, emit_col: bool, G: int,
                     st["d2s"] = d1s
                     st["qd"] = qd
 
+            if persistent:
+                for g in range(G):
+                    sts[g]["_t0"] = t0s[g] + U
+                    sts[g]["_epoch"] = epochs_out[g]
             return tuple(sts)
 
-        carry = tuple(fresh_state(g) for g in range(G))
+        if persistent:
+            def _init(g):
+                st = fresh_state(g, j0_dyn=jnp.int32(g * W))
+                st["_t0"] = jnp.int32(-g * S)
+                st["_epoch"] = jnp.int32(0)
+                return st
+
+            carry = tuple(_init(g) for g in range(G))
+        else:
+            carry = tuple(fresh_state(g) for g in range(G))
         carry = jax.lax.fori_loop(
             0, jax.lax.div(T_total + U - 1, U), block, carry
         )
 
-        # Drain: per-chain outputs.
-        for g in range(G):
+        # Drain: per-chain outputs (persistent chains already retired
+        # every window's outputs in-loop; only the final best remains).
+        for g in range(G) if not persistent else ():
             st = carry[g]
             row_out_ref[g * R:(g + 1) * R, :] = st["lastrow"]
             if boundary and affine:
@@ -827,52 +1017,7 @@ def _make_kernel(mode: Mode, sc, emit_col: bool, G: int,
                 def _():
                     _wait(nf - 2)
             if local:
-                vmax = st["vmax"]
-                if fast_local:
-                    # Recover i = t - p from the stored improvement step.
-                    vimax = st["vtmax"] - flat_iota
-                else:
-                    vimax = st["vimax"]
-                # Merge this window's best into the running best with
-                # row-major first-occurrence tie-breaking (smallest i,
-                # then smallest j) -- matches the reference's strict->
-                # argmax (utils.impala:38-48).
-                mval = jnp.max(vmax)
-                icand = jnp.where(vmax == mval, vimax, jnp.int32(2**30))
-                imin = jnp.min(icand)
-                jcand = jnp.where(
-                    jnp.logical_and(vmax == mval, vimax == imin),
-                    flat_iota, jnp.int32(2**30),
-                )
-                jmin = jnp.min(jcand)
-                gi = imin
-                gj = j0s[g] + jmin
-                if fast_local:
-                    # mval == 0 (no positive cell anywhere): never-
-                    # improved positions hold garbage vtmax; report the
-                    # first-occurrence zero cell (0, 0), matching the
-                    # masked path / the oracle.
-                    pos_ok = mval > 0
-                    gi = jnp.where(pos_ok, gi, 0)
-                    gj = jnp.where(pos_ok, gj, 0)
-                better = jnp.logical_or(
-                    mval > smem_s[0],
-                    jnp.logical_and(
-                        mval == smem_s[0],
-                        jnp.logical_or(
-                            gi < smem_s[1],
-                            jnp.logical_and(
-                                gi == smem_s[1], gj < smem_s[2]
-                            ),
-                        ),
-                    ),
-                )
-
-                @pl.when(better)
-                def _(mval=mval, gi=gi, gj=gj):
-                    smem_s[0] = mval
-                    smem_s[1] = gi
-                    smem_s[2] = gj
+                _merge_best(st, j0s[g])
 
         @pl.when(gr == glast)
         def _():
@@ -948,12 +1093,14 @@ def _bucket(x: int, mult: int) -> int:
 @functools.partial(
     jax.jit,
     static_argnames=("mode", "sc", "emit_col", "interpret", "G",
-                     "emit_preds", "start_gap"),
+                     "emit_preds", "start_gap", "persistent",
+                     "need_pos"),
 )
 def _score_padded(q2, s2, m, n, mode: Mode, sc: LinearScoring,
                   emit_col: bool = True, interpret: bool = False,
                   G: int = DEFAULT_G, emit_preds: bool = False,
-                  start_gap: bool = False):
+                  start_gap: bool = False, persistent: bool = False,
+                  need_pos: bool = True):
     M_pad = q2.shape[0] * LANES
     N_pad = s2.shape[0] * LANES
     num_groups = N_pad // (G * W)
@@ -968,7 +1115,9 @@ def _score_padded(q2, s2, m, n, mode: Mode, sc: LinearScoring,
     p_pl = (M_pad + 2 * W) // spw
 
     kernel = _make_kernel(mode, sc, emit_col, G, emit_preds, p_pl,
-                          start_gap=start_gap)
+                          start_gap=start_gap,
+                          persistent=num_groups if persistent else 0,
+                          need_pos=need_pos)
     dims = jnp.stack([m, n]).astype(jnp.int32)
 
     out_shape = [
@@ -976,8 +1125,9 @@ def _score_padded(q2, s2, m, n, mode: Mode, sc: LinearScoring,
         jax.ShapeDtypeStruct((stage_rows, LANES), Score),
     ]
     out_specs = [
-        pl.BlockSpec((G * R, LANES), lambda gr: (gr, 0),
-                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM) if persistent
+        else pl.BlockSpec((G * R, LANES), lambda gr: (gr, 0),
+                          memory_space=pltpu.VMEM),
         pl.BlockSpec(memory_space=pltpu.VMEM),  # ecol staging, whole
     ]
     if affine and emit_col:
@@ -1002,12 +1152,13 @@ def _score_padded(q2, s2, m, n, mode: Mode, sc: LinearScoring,
 
     outs = pl.pallas_call(
         kernel,
-        grid=(num_groups,),
+        grid=(1,) if persistent else (num_groups,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),  # q, whole array
-            pl.BlockSpec((G * R, LANES), lambda gr: (gr, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM) if persistent
+            else pl.BlockSpec((G * R, LANES), lambda gr: (gr, 0),
+                              memory_space=pltpu.VMEM),
         ],
         out_specs=out_specs,
         out_shape=out_shape,
@@ -1515,7 +1666,8 @@ def unpack_preds_host(packed, p_pl: int, m: int, n: int,
 def score_pair(qp, sp, m, n, mode: Mode, sc,
                H: int | None = None, interpret: bool = False,
                emit_col: bool | None = None, G: int | None = None,
-               emit_preds: bool = False, start_gap: bool = False):
+               emit_preds: bool = False, start_gap: bool = False,
+               need_pos: bool = True, persistent: bool | None = None):
     """Score-only linear-memory DP via the Pallas wavefront kernel.
 
     ``sc`` may be LinearScoring or AffineScoring (real 3-matrix Gotoh,
@@ -1561,6 +1713,20 @@ def score_pair(qp, sp, m, n, mode: Mode, sc,
     q2 = _fit_padded(qp, M_pad, m_i, PAD_Q)
     s2 = _fit_padded(sp, N_pad, n_i, PAD_S)
 
+    if persistent is None:
+        # Persistent chains pay the (G-1)*STAGGER pipeline fill ONCE per
+        # call instead of once per window group. Correctness needs the
+        # cross-epoch column-scratch discipline: chain 0's next-epoch
+        # read of colbuf row r must land after chain G-1's prior-epoch
+        # write, i.e. (G-1)*S + W + 126 < T (we keep a 128-step margin).
+        T_est = 128 * (-(-m_i // 128)) + W + (W if emit_col else 0)
+        persistent = (
+            not emit_preds
+            and N_pad // (G * W) > 1
+            and (G - 1) * STAGGER + W + 254 <= T_est
+        )
+
     return _score_padded(q2, s2, jnp.int32(m_i), jnp.int32(n_i),
                          mode, sc, emit_col, interpret, G,
+                         persistent=persistent, need_pos=need_pos,
                          emit_preds=emit_preds, start_gap=start_gap)

@@ -67,7 +67,10 @@ def main():
         from anyseq_tpu.kernels import band
 
         def fn():
-            return band.score_pair(qp, sp, m, n, Mode.LOCAL, sc)["best"]
+            # Score-only (need_pos=False): the reference's score()
+            # returns the score alone (align.impala:218-235).
+            return band.score_pair(qp, sp, m, n, Mode.LOCAL, sc,
+                                   need_pos=False)["best"]
 
         return fn
 

@@ -272,3 +272,57 @@ def test_kernel_band_boundary_inputs(rng):
     # (m - i0) entries must equal column N_pad-1 of a padded DP -- cheap
     # sanity: finite int32 values present.
     assert np.asarray(outs["col_out"]).shape[0] == 512
+
+
+@pytest.mark.parametrize("mode", [Mode.GLOBAL, Mode.SEMIGLOBAL, Mode.LOCAL])
+@pytest.mark.parametrize("sc", [LIN, AFF], ids=["linear", "affine"])
+def test_kernel_persistent_chains(mode, sc, rng):
+    """Persistent-chain mode (continuous rebirth, one grid step) is
+    bit-identical to grid mode across multiple epochs per chain.
+
+    Shapes satisfy the cross-epoch column-scratch constraint
+    (G-1)*STAGGER + W + 254 <= T with G=2 and give 3 window groups, so
+    every chain retires and is reborn at least twice."""
+    m, n, qp, sp = _prep(rng, 1500, 4100)
+    ref = band.score_pair(qp, sp, m, n, mode, sc, interpret=True, G=2,
+                          persistent=False)
+    outs = band.score_pair(qp, sp, m, n, mode, sc, interpret=True, G=2,
+                           persistent=True)
+    _check(outs, ref, m, n, mode)
+    if mode is not Mode.LOCAL:
+        np.testing.assert_array_equal(
+            np.asarray(outs["last_row"])[:n],
+            np.asarray(ref["last_row"])[:n],
+        )
+    if isinstance(sc, AffineScoring) and mode is not Mode.LOCAL:
+        np.testing.assert_array_equal(
+            np.asarray(outs["last_col_e"])[:m],
+            np.asarray(ref["last_col_e"])[:m],
+        )
+
+
+def test_kernel_persistent_need_pos_false(rng):
+    """Score-only local tracking (need_pos=False): same score, sentinel
+    positions -- the reference's score() returns the score alone
+    (align.impala:218-235)."""
+    m, n, qp, sp = _prep(rng, 1500, 4100)
+    ref = band.score_pair(qp, sp, m, n, Mode.LOCAL, LIN, interpret=True,
+                          G=2, persistent=False)
+    outs = band.score_pair(qp, sp, m, n, Mode.LOCAL, LIN, interpret=True,
+                           G=2, persistent=True, need_pos=False)
+    b, rb = np.asarray(outs["best"]), np.asarray(ref["best"])
+    assert b[0] == rb[0]
+    assert tuple(b[1:]) == (-1, -1)
+
+
+def test_kernel_persistent_start_gap(rng):
+    """Affine GLOBAL start_gap (Myers-Miller continuing-run init) under
+    persistent chains."""
+    m, n, qp, sp = _prep(rng, 1500, 4100)
+    ref = band.score_pair(qp, sp, m, n, Mode.GLOBAL, AFF, interpret=True,
+                          G=2, persistent=False, start_gap=True)
+    outs = band.score_pair(qp, sp, m, n, Mode.GLOBAL, AFF, interpret=True,
+                           G=2, persistent=True, start_gap=True)
+    np.testing.assert_array_equal(
+        np.asarray(outs["last_col"])[:m], np.asarray(ref["last_col"])[:m]
+    )
