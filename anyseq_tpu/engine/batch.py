@@ -650,3 +650,82 @@ def align_scores_batch(queries, subjects, mode="global",
                 )
             out[np.asarray(chunk)] = np.asarray(scores)
     return out
+
+
+@jax.jit
+def walk_batch(preds, q, s, ms, ns):
+    """On-device batched GLOBAL traceback walk over dense predecessor
+    matrices -- the terminal-stripe phase of the level-synchronous
+    Hirschberg without the O(B*M*N) pred fetch (reference analog:
+    iteration_tb's per-part walks, iteration_cpu.impala:159-173, which
+    run after a full pred D2H copy; here only the O(B*(M+N)) aligned
+    strings leave the device).
+
+    preds: (B, M, N) uint8 (unhaloed); q: (B, M) int32; s: (B, N) int32;
+    ms/ns: (B,) true lengths. Returns (out_q, out_s): (B, M+N+1) uint8
+    prefilled EMPTY_SYM, the walked pair of cell (i, j) written at
+    position i + j + 1 with '_' gaps (traceback.impala:47-80 semantics;
+    the GLOBAL halo is applied arithmetically: i < 0 -> PRED_GAP_Q,
+    j < 0 -> PRED_GAP_S, both -> PRED_NONE)."""
+    from anyseq_tpu.core.types import (
+        EMPTY_SYM, GAP_SYM, PRED_GAP_Q, PRED_GAP_S, PRED_NO_GAP,
+        PRED_NONE,
+    )
+
+    B, M, N = preds.shape
+    L = M + N + 1
+
+    def one(P, qrow, srow, m, n):
+        def body(_, carry):
+            i, j, oq, os_ = carry
+            code = jnp.where(
+                jnp.logical_and(i < 0, j < 0),
+                PRED_NONE,
+                jnp.where(
+                    i < 0,
+                    PRED_GAP_Q,
+                    jnp.where(
+                        j < 0,
+                        PRED_GAP_S,
+                        jax.lax.dynamic_slice(
+                            P,
+                            (jnp.maximum(i, 0), jnp.maximum(j, 0)),
+                            (1, 1),
+                        )[0, 0].astype(jnp.int32),
+                    ),
+                ),
+            )
+            live = code != PRED_NONE
+            takes_q = jnp.logical_or(code == PRED_NO_GAP,
+                                     code == PRED_GAP_S)
+            takes_s = jnp.logical_or(code == PRED_NO_GAP,
+                                     code == PRED_GAP_Q)
+            sym_q = jnp.where(
+                takes_q, qrow[jnp.maximum(i, 0)], jnp.int32(GAP_SYM)
+            )
+            sym_s = jnp.where(
+                takes_s, srow[jnp.maximum(j, 0)], jnp.int32(GAP_SYM)
+            )
+            pos = jnp.where(live, i + j + 1, L - 1)
+            # Dead walks park at slot L-1 which is re-set to EMPTY at
+            # the end (positions i+j+1 <= m+n < L while live).
+            oq = oq.at[pos].set(
+                jnp.where(live, sym_q.astype(jnp.uint8), oq[pos])
+            )
+            os_ = os_.at[pos].set(
+                jnp.where(live, sym_s.astype(jnp.uint8), os_[pos])
+            )
+            i = i - takes_q.astype(jnp.int32)
+            j = j - takes_s.astype(jnp.int32)
+            return i, j, oq, os_
+
+        oq0 = jnp.full((L,), EMPTY_SYM, jnp.uint8)
+        _, _, oq, os_ = jax.lax.fori_loop(
+            0, m + n, body, (m - 1, n - 1, oq0, oq0)
+        )
+        oq = oq.at[L - 1].set(EMPTY_SYM)
+        os_ = os_.at[L - 1].set(EMPTY_SYM)
+        return oq, os_
+
+    return jax.vmap(one)(preds, q, s, ms.astype(jnp.int32),
+                         ns.astype(jnp.int32))

@@ -454,21 +454,47 @@ def _hb_global(q8, s8, off_i, off_j, out_q, out_s, scoring, engine,
                     jnp.asarray(qarr), jnp.asarray(sarr),
                     jnp.asarray(ms), jnp.asarray(ns), scoring, mesh,
                 )
+                preds = np.asarray(preds)
+                for b, (qlo, qhi, slo, shi) in enumerate(chunk):
+                    h, w = qhi - qlo, shi - slo
+                    Pm = api._haloed_preds(
+                        preds[b, :h, :w], h, w, Mode.GLOBAL
+                    )
+                    tb.walk_linear(
+                        q8[qlo:qhi], s8[slo:shi], Pm, (h - 1, w - 1),
+                        out_q, out_s, off_i + qlo, off_j + slo,
+                    )
             else:
+                # On-device batched walk: only the O(B*(H+W)) aligned
+                # strings leave the device (the dense O(B*H*W) pred
+                # fetch dominated the terminal phase on tunneled TPUs).
                 preds, _ = batch.preds_batch(
                     jnp.asarray(qarr), jnp.asarray(sarr),
                     jnp.asarray(ms), jnp.asarray(ns), scoring,
                 )
-            preds = np.asarray(preds)
-            for b, (qlo, qhi, slo, shi) in enumerate(chunk):
-                h, w = qhi - qlo, shi - slo
-                Pm = api._haloed_preds(
-                    preds[b, :h, :w], h, w, Mode.GLOBAL
+                oq, osub = batch.walk_batch(
+                    preds, jnp.asarray(qarr), jnp.asarray(sarr),
+                    jnp.asarray(ms), jnp.asarray(ns),
                 )
-                tb.walk_linear(
-                    q8[qlo:qhi], s8[slo:shi], Pm, (h - 1, w - 1),
-                    out_q, out_s, off_i + qlo, off_j + slo,
-                )
+                oq = np.asarray(oq)
+                osub = np.asarray(osub)
+                from anyseq_tpu.core.types import EMPTY_SYM
+                for b, (qlo, qhi, slo, shi) in enumerate(chunk):
+                    h, w = qhi - qlo, shi - slo
+                    base = off_i + qlo + off_j + slo
+                    # Replicate the host walk's write pattern exactly:
+                    # only the walked path positions (EMPTY positions
+                    # are skipped-by-diagonal slots that may belong to
+                    # other writers in the shared sparse buffer). The
+                    # walk's halo tail (cells at i = -1 or j = -1)
+                    # reaches local position 0, so the copy starts at
+                    # local 0 = global `base`.
+                    ln = min(h + w, len(out_q) - base)
+                    seg_q = oq[b, :ln]
+                    seg_s = osub[b, :ln]
+                    sel = (seg_q != EMPTY_SYM) | (seg_s != EMPTY_SYM)
+                    out_q[base: base + ln][sel] = seg_q[sel]
+                    out_s[base: base + ln][sel] = seg_s[sel]
             term_done = ci + 1
             _save_level()
     _tlog(f"terminals n={len(terminals)} "

@@ -145,7 +145,7 @@ def _make_kernel(mode: Mode, sc, emit_col: bool, G: int,
                  boundary: bool = False, start_gap: bool = False,
                  collective_axis: str | None = None,
                  batched: bool = False, persistent: int = 0,
-                 need_pos: bool = True):
+                 need_pos: bool = True, slotted: dict | None = None):
     """Build the wavefront kernel body.
 
     ``boundary=False``: closed-form DP boundary (the top row / left column
@@ -242,6 +242,14 @@ def _make_kernel(mode: Mode, sc, emit_col: bool, G: int,
             "persistent chains: closed-form mode only (no boundary/"
             "batched/collective/pred emission)"
         )
+    if slotted is not None and (
+        boundary or batched or collective_axis or emit_preds or local
+        or persistent or not emit_col
+    ):
+        raise NotImplementedError(
+            "slotted mode: closed-form GLOBAL/SEMIGLOBAL emit_col "
+            "batches only"
+        )
 
     def _topval(j, sgd):
         """Boundary row cell(-1, j) (j may be negative: the corner
@@ -276,6 +284,9 @@ def _make_kernel(mode: Mode, sc, emit_col: bool, G: int,
         corners_ref = rest.pop(0) if boundary else None
         q_ref = rest.pop(0)
         s_ref = rest.pop(0)
+        col_init_ref = rest.pop(0) if slotted is not None else None
+        cole_init_ref = rest.pop(0) if (slotted is not None
+                                        and affine) else None
         row_in_ref = rest.pop(0) if boundary else None
         rowf_in_ref = rest.pop(0) if (boundary and affine) else None
         col_in_ref = rest.pop(0) if boundary else None
@@ -297,7 +308,14 @@ def _make_kernel(mode: Mode, sc, emit_col: bool, G: int,
         if collective_axis:
             recv_sem = rest.pop(0)
             send_sem = rest.pop(0)
-        if batched:
+        if slotted is not None:
+            gr = pl.program_id(0)          # grid (1,)
+            # Uniform sweep length from the level's max m (dims col 3);
+            # per-problem m/n/sgap are read per chain in block().
+            m = dims_ref[0, 3]
+            n = None
+            sgap_dyn = None
+        elif batched:
             bidx = pl.program_id(0)
             gr = pl.program_id(1)
             m = dims_ref[bidx, 0]
@@ -309,7 +327,8 @@ def _make_kernel(mode: Mode, sc, emit_col: bool, G: int,
             n = dims_ref[1]
             sgap_dyn = None
         glast = pl.num_programs(1 if batched else 0) - 1
-        mr_rows = q_ref.shape[0]          # M_pad // 128 (static)
+        mr_rows = (slotted["MRb"] if slotted is not None
+                   else q_ref.shape[0])   # q rows per problem (static)
         nrm = jax.lax.div(m + 127, 128)   # used colbuf rows (dynamic)
 
         if collective_axis:
@@ -375,7 +394,16 @@ def _make_kernel(mode: Mode, sc, emit_col: bool, G: int,
             smem_s[1] = -1
             smem_s[2] = -1
 
-        if not boundary:
+        if slotted is not None:
+            # Per-problem column regions are staged ONCE from the
+            # host-computed closed-form boundary columns: every
+            # problem's window 0 then reads its true left boundary from
+            # colbuf like any other window -- no per-step boundary
+            # select anywhere in the hot loop.
+            colbuf_s[:, :] = col_init_ref[:, :]
+            if affine:
+                colbuf_e_s[:, :] = cole_init_ref[:, :]
+        elif not boundary:
             # Closed-form mode: rows >= ceil(m/128) of the column scratch
             # are read (crow clamps into them past the sweep end) but
             # never flushed; initialize them to a decaying sentinel so
@@ -394,7 +422,22 @@ def _make_kernel(mode: Mode, sc, emit_col: bool, G: int,
         # t = 128*(nrm-1) + W + 126; ecol needs a flush at
         # t >= m-1+edge (+W margin covers any edge in [0, W)).
         T = 128 * nrm + W + (W if emit_col else 0)
-        if persistent:
+        if slotted is not None:
+            # Slot schedule (all static except T): problems x windows.
+            # NW <= G: PPE problems run concurrently per epoch, each on
+            # its own NW-chain block staggered only WITHIN the problem
+            # (independent problems need no stagger; for NW == 1 the
+            # fill is zero and every chain is an independent problem --
+            # the deep-level Hirschberg shape). NW > G: one problem at a
+            # time across EPP epochs, persistent-style.
+            B_s, NW = slotted["B"], slotted["NW"]
+            PPE, EPP = slotted["PPE"], slotted["EPP"]
+            SRp = slotted["SRp"]
+            NE = -(-B_s // PPE) * EPP
+            max_off = ((min(NW, G) - 1) * S) if EPP == 1 else (G - 1) * S
+            T_total = NE * T + max_off + U
+            s_syms = j0s = edges = is_edge = emask = None
+        elif persistent:
             # One extra block so the last chain's final epoch-wrap
             # retire (checked at block START) fires inside the loop.
             T_total = persistent * T + (G - 1) * S + U
@@ -470,7 +513,7 @@ def _make_kernel(mode: Mode, sc, emit_col: bool, G: int,
                 smem_s[1] = gi
                 smem_s[2] = gj
 
-        def fresh_state(g, j0_dyn=None):
+        def fresh_state(g, j0_dyn=None, sg_dyn=None):
             # Birth places the ENTIRE boundary top row into d1/d2s:
             # positions > t keep these values (the step update masks
             # them out) and are consumed exactly when the sweep front
@@ -485,10 +528,10 @@ def _make_kernel(mode: Mode, sc, emit_col: bool, G: int,
                     flat_iota == 0, corner, _shift_r(tr, lane_iota == 0)
                 )
             else:
-                j0v = j0_dyn if persistent else j0s[g]
-                d1_0 = _topval(j0v + flat_iota, sgap_dyn).astype(Score)
-                d2s_0 = _topval(j0v + flat_iota - 1,
-                                sgap_dyn).astype(Score)
+                j0v = j0_dyn if j0_dyn is not None else j0s[g]
+                sgd = sg_dyn if sg_dyn is not None else sgap_dyn
+                d1_0 = _topval(j0v + flat_iota, sgd).astype(Score)
+                d2s_0 = _topval(j0v + flat_iota - 1, sgd).astype(Score)
             st = {
                 "d1": d1_0,
                 "d2s": d2s_0,
@@ -538,13 +581,85 @@ def _make_kernel(mode: Mode, sc, emit_col: bool, G: int,
                 epochs_out = [None] * G
             else:
                 t0s = [tau0 - g * S for g in range(G)]
+            # Uniform per-chain context (trivial outside slotted mode):
+            # colbuf row base, per-problem dims, ecol staging base.
+            cb_base = [0] * G
+            ecb = [0] * G
+            m_gs = [m] * G
+            nrm_gs = [nrm] * G
+            if slotted is not None:
+                t0s = [None] * G
+                lives = [None] * G
+                j0d = [None] * G
+                s_blk = [None] * G
+                edge_d = [None] * G
+                is_edge_d = [None] * G
+                emask_d = [None] * G
+                sg_gs = [None] * G
             sts = []
             # Per-chain block-level events, then the step loop interleaves
             # one step of EVERY chain before advancing (k outer, g inner):
             # the G dependency chains are independent, so interleaving
             # fills the VPU pipeline that a single chain leaves stalled.
             for g in range(G):
-                if persistent:
+                if slotted is not None:
+                    # Slot clock: chain g works window `win` of problem
+                    # `prob`; on wrap retire the finished slot's bottom
+                    # row, then advance to the chain's next slot.
+                    cst = dict(carry[g])
+                    t0_prev = cst.pop("_t0")
+                    prob_prev = cst.pop("_prob")
+                    ep_prev = cst.pop("_ep")
+                    if EPP == 1:
+                        win_prev = g % NW
+                    else:
+                        win_prev = ep_prev * G + g
+                    wrap = t0_prev == T
+                    live_prev = jnp.logical_and(prob_prev < B_s,
+                                                win_prev < NW)
+                    retire = jnp.logical_and(wrap, live_prev)
+                    wp = (prob_prev * NW + win_prev) * R
+
+                    @pl.when(retire)
+                    def _(cst=cst, wp=wp):
+                        row_out_ref[pl.ds(wp, R), :] = cst["lastrow"]
+                    wi = wrap.astype(jnp.int32)
+                    if EPP == 1:
+                        prob = prob_prev + wi * PPE
+                        ep = ep_prev
+                        win = win_prev
+                    else:
+                        ep_w = ep_prev + wi
+                        roll_p = ep_w == EPP
+                        ep = jnp.where(roll_p, 0, ep_w)
+                        prob = prob_prev + roll_p.astype(jnp.int32)
+                        win = ep * G + g
+                    t0 = jnp.where(wrap, 0, t0_prev)
+                    probc = jnp.minimum(prob, B_s - 1)
+                    t0s[g] = t0
+                    lives[g] = jnp.logical_and(prob < B_s, win < NW)
+                    j0d[g] = win * W
+                    cb_base[g] = probc * mr_rows
+                    ecb[g] = probc * SRp
+                    m_gs[g] = dims_ref[probc, 0]
+                    n_g = dims_ref[probc, 1]
+                    nrm_gs[g] = jax.lax.div(m_gs[g] + 127, 128)
+                    sg_gs[g] = dims_ref[probc, 2] if affine else None
+                    winc = jnp.minimum(win, NW - 1)
+                    s_blk[g] = s_ref[
+                        pl.ds((probc * NW + winc) * R, R), :
+                    ]
+                    edge_d[g] = n_g - 1 - j0d[g]
+                    is_edge_d[g] = jnp.logical_and(
+                        edge_d[g] >= 0, edge_d[g] < W
+                    )
+                    emask_d[g] = flat_iota == edge_d[g]
+                    fs = fresh_state(g, j0_dyn=j0d[g], sg_dyn=sg_gs[g])
+                    st = {key: jnp.where(t0 == 0, fs[key], v)
+                          for key, v in cst.items()}
+                    st["_prob"] = prob
+                    st["_ep"] = ep
+                elif persistent:
                     # Incremental per-chain clock (no divisions): t0 =
                     # epoch-local step at block start (negative before
                     # birth), epoch = window-group index. On wrap
@@ -615,13 +730,14 @@ def _make_kernel(mode: Mode, sc, emit_col: bool, G: int,
                         _row_rdma(crow).wait_recv()
                 # Rebuild the feed rows of the stacked streams register
                 # (colacc rows 2/4 are preserved; only every 128th step).
-                reb = jnp.where(sub_iota == 0, q_ref[pl.ds(crow, 1), :],
+                cr = cb_base[g] + crow
+                reb = jnp.where(sub_iota == 0, q_ref[pl.ds(cr, 1), :],
                                 st["streams"])
-                reb = jnp.where(sub_iota == 1, colbuf_s[pl.ds(crow, 1), :],
+                reb = jnp.where(sub_iota == 1, colbuf_s[pl.ds(cr, 1), :],
                                 reb)
                 if affine:
                     reb = jnp.where(
-                        sub_iota == 3, colbuf_e_s[pl.ds(crow, 1), :], reb
+                        sub_iota == 3, colbuf_e_s[pl.ds(cr, 1), :], reb
                     )
                 st["streams"] = jnp.where(fresh, reb, st["streams"])
                 sts.append(st)
@@ -630,7 +746,7 @@ def _make_kernel(mode: Mode, sc, emit_col: bool, G: int,
             # Hoisted local-mode column-validity masks (loop-invariant;
             # per block rather than per kernel to keep them out of the
             # long-lived register set). The fast local path needs none.
-            _j0 = j0d if persistent else j0s
+            _j0 = j0d if (persistent or slotted is not None) else j0s
             jvalid = ([_j0[g] + flat_iota < n for g in range(G)]
                       if (local and not fast_local) else None)
             # Hoisted stream-insert masks (constants; block-local so
@@ -659,17 +775,21 @@ def _make_kernel(mode: Mode, sc, emit_col: bool, G: int,
                     # (scoring.impala:224) -- or, in boundary mode, the
                     # staged input column (already in colbuf).
                     d1s = _shift_r(d1, lane0)
-                    if g == 0 and not boundary:
+                    if g == 0 and not boundary and slotted is None:
                         first0 = (epochs_out[0] == 0) if persistent \
                             else (gr == 0)
                         lcb = jnp.where(first0, _colbound(t, sgap_dyn),
                                         colfeed)
                     else:
+                        # Slotted mode: every window 0 reads its staged
+                        # closed-form boundary column from colbuf.
                         lcb = colfeed
                     d1s = jnp.where(flat0, lcb, d1s)
 
                     sub = jnp.where(
-                        qd == (s_blk[g] if persistent else s_syms[g]),
+                        qd == (s_blk[g] if (persistent or
+                                            slotted is not None)
+                               else s_syms[g]),
                         sc.match, sc.mismatch
                     ).astype(Score)
 
@@ -736,23 +856,25 @@ def _make_kernel(mode: Mode, sc, emit_col: bool, G: int,
                         r_fl = jax.lax.div(t - W - 126, 128)
                         flush_ok = jnp.logical_and(
                             jax.lax.rem(t + 2, 128) == 0,
-                            jnp.logical_and(r_fl >= 0, r_fl < nrm),
+                            jnp.logical_and(r_fl >= 0, r_fl < nrm_gs[g]),
                         )
-                        if persistent:
+                        if persistent or slotted is not None:
                             # Ghost epochs past the last window must not
                             # overwrite the shared column scratch.
                             flush_ok = jnp.logical_and(
                                 flush_ok, lives[g]
                             )
 
+                        r_fb = cb_base[g] + r_fl
+
                         @pl.when(flush_ok)
-                        def _(cs=streams, r_fl=r_fl):
-                            colbuf_s[pl.ds(r_fl, 1), :] = cs[2:3, :]
+                        def _(cs=streams, r_fb=r_fb):
+                            colbuf_s[pl.ds(r_fb, 1), :] = cs[2:3, :]
 
                         if affine:
                             @pl.when(flush_ok)
-                            def _(cs=streams, r_fl=r_fl):
-                                colbuf_e_s[pl.ds(r_fl, 1), :] = cs[4:5, :]
+                            def _(cs=streams, r_fb=r_fb):
+                                colbuf_e_s[pl.ds(r_fb, 1), :] = cs[4:5, :]
 
                         if collective_axis and g == G - 1:
                             # Stripe's last window: stream the freshly
@@ -875,7 +997,8 @@ def _make_kernel(mode: Mode, sc, emit_col: bool, G: int,
                     # always needs the row -- it feeds the next band).
                     if not (local and not boundary):
                         st["lastrow"] = jnp.where(
-                            flat_iota == t - (m - 1), new, st["lastrow"]
+                            flat_iota == t - (m_gs[g] - 1), new,
+                            st["lastrow"]
                         )
 
                     if fast_local:
@@ -912,7 +1035,9 @@ def _make_kernel(mode: Mode, sc, emit_col: bool, G: int,
                         # they ride free issue slots off the critical
                         # chain). Affine also collects the E column (the
                         # Myers-Miller merge needs E[i][n-1]).
-                        _em = emask_d[g] if persistent else emask[g]
+                        _em = (emask_d[g]
+                               if (persistent or slotted is not None)
+                               else emask[g])
                         ecol = jnp.where(_em, new,
                                          _rot_l(st["ecol"], lane_last))
                         st["ecol"] = ecol
@@ -924,33 +1049,36 @@ def _make_kernel(mode: Mode, sc, emit_col: bool, G: int,
                             st["ecole"] = ecole
                         if k % 16 == 14:
                             c_fl = jax.lax.div(t + 2 - W, W)
-                            _ie = (is_edge_d[g] if persistent
+                            _ie = (is_edge_d[g]
+                                   if (persistent or slotted is not None)
                                    else is_edge[g])
-                            if persistent:
+                            if persistent or slotted is not None:
                                 # Dead chains clamp to the LAST window,
                                 # which is often the true edge window --
                                 # suppress their ghost flushes.
                                 _ie = jnp.logical_and(_ie, lives[g])
+                            cap = (SRp if slotted is not None
+                                   else ecol_out_ref.shape[0]) // R
                             flush_col = jnp.logical_and(
                                 jnp.logical_and(
                                     jax.lax.rem(t + 2, W) == 0,
                                     _ie,
                                 ),
                                 jnp.logical_and(
-                                    c_fl >= 0,
-                                    c_fl < ecol_out_ref.shape[0] // R,
+                                    c_fl >= 0, c_fl < cap
                                 ),
                             )
+                            e_at = ecb[g] + c_fl * R
 
                             @pl.when(flush_col)
-                            def _(ecol=ecol, c_fl=c_fl):
-                                ecol_out_ref[pl.ds(c_fl * R, R), :] = ecol
+                            def _(ecol=ecol, e_at=e_at):
+                                ecol_out_ref[pl.ds(e_at, R), :] = ecol
 
                             if affine:
                                 @pl.when(flush_col)
-                                def _(ecole=ecole, c_fl=c_fl):
+                                def _(ecole=ecole, e_at=e_at):
                                     ecole_out_ref[
-                                        pl.ds(c_fl * R, R), :
+                                        pl.ds(e_at, R), :
                                     ] = ecole
 
                     # Top boundary row values were pre-placed at birth
@@ -971,9 +1099,32 @@ def _make_kernel(mode: Mode, sc, emit_col: bool, G: int,
                 for g in range(G):
                     sts[g]["_t0"] = t0s[g] + U
                     sts[g]["_epoch"] = epochs_out[g]
+            if slotted is not None:
+                for g in range(G):
+                    sts[g]["_t0"] = t0s[g] + U
             return tuple(sts)
 
-        if persistent:
+        if slotted is not None:
+            def _init(g):
+                if EPP == 1:
+                    win0 = g % NW
+                    # Chains beyond the last full problem block would
+                    # alias other chains' problems -- permanently dead.
+                    p0 = g // NW if g < PPE * NW else B_s
+                else:
+                    win0 = g
+                    p0 = 0
+                sg0 = (dims_ref[jnp.minimum(jnp.int32(p0), B_s - 1), 2]
+                       if affine else None)
+                st = fresh_state(g, j0_dyn=jnp.int32(win0 * W),
+                                 sg_dyn=sg0)
+                st["_t0"] = jnp.int32(-win0 * S if EPP == 1 else -g * S)
+                st["_prob"] = jnp.int32(p0)
+                st["_ep"] = jnp.int32(0)
+                return st
+
+            carry = tuple(_init(g) for g in range(G))
+        elif persistent:
             def _init(g):
                 st = fresh_state(g, j0_dyn=jnp.int32(g * W))
                 st["_t0"] = jnp.int32(-g * S)
@@ -989,7 +1140,7 @@ def _make_kernel(mode: Mode, sc, emit_col: bool, G: int,
 
         # Drain: per-chain outputs (persistent chains already retired
         # every window's outputs in-loop; only the final best remains).
-        for g in range(G) if not persistent else ():
+        for g in range(G) if not (persistent or slotted) else ():
             st = carry[g]
             row_out_ref[g * R:(g + 1) * R, :] = st["lastrow"]
             if boundary and affine:
@@ -1413,6 +1564,142 @@ def _score_batched_padded(q3, s3, dims, mode: Mode, sc, G: int, GP: int,
     return res
 
 
+@functools.partial(
+    jax.jit, static_argnames=("mode", "sc", "G", "NW", "PPE", "EPP",
+                              "interpret")
+)
+def _score_slotted_padded(q3, s3, dims, col_init, cole_init, mode: Mode,
+                          sc, G: int, NW: int, PPE: int, EPP: int,
+                          interpret=False):
+    """Many independent problems in ONE launch with chains assigned to
+    (problem, window) SLOTS -- the deep-Hirschberg-level engine.
+
+    The plain batched grid runs problems sequentially, so a problem
+    with only a few 1024-column windows caps the concurrent chain count
+    at NW (latency-bound, ~8x below the VPU issue plateau). Slotted
+    mode draws the G chains from PPE different problems at once
+    (problems are independent: no stagger between them, stagger only
+    between windows of the same problem), so deep levels with hundreds
+    of short problems fill the same issue pipeline as the 100k headline
+    sweep. Per-problem column scratch regions are staged once from
+    host-computed closed-form boundary columns.
+
+    q3: (B*MRb, 128) per-problem query blocks; s3: (B*NW*R, 128);
+    dims: (B, 4) int32 [m, n, sgap, max_m]; col_init: (B*MRb, 128)
+    closed-form H left-boundary columns (cole_init: E columns, affine
+    only; pass q3[:0] sized dummy otherwise).
+    """
+    affine = isinstance(sc, AffineScoring)
+    B = dims.shape[0]
+    MRb = q3.shape[0] // B
+    M_pad = MRb * LANES
+    stage_rows = (_round_up(M_pad + 2 * W, W) // W) * R
+
+    kernel = _make_kernel(
+        mode, sc, emit_col=True, G=G,
+        slotted=dict(B=B, NW=NW, MRb=MRb, SRp=stage_rows,
+                     PPE=PPE, EPP=EPP),
+    )
+
+    out_shape = [
+        jax.ShapeDtypeStruct((B * NW * R, LANES), Score),   # last_rows
+        jax.ShapeDtypeStruct((B * stage_rows, LANES), Score),
+    ]
+    if affine:
+        out_shape.append(
+            jax.ShapeDtypeStruct((B * stage_rows, LANES), Score)
+        )
+    out_shape.append(jax.ShapeDtypeStruct((4,), jnp.int32))
+    out_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)
+                 for _ in range(len(out_shape) - 1)]
+    out_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+
+    scratch = [pltpu.VMEM((B * MRb, LANES), Score)]
+    if affine:
+        scratch.append(pltpu.VMEM((B * MRb, LANES), Score))
+    scratch.append(pltpu.SMEM((8,), jnp.int32))
+
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),    # dims
+        pl.BlockSpec(memory_space=pltpu.VMEM),    # q
+        pl.BlockSpec(memory_space=pltpu.VMEM),    # s
+        pl.BlockSpec(memory_space=pltpu.VMEM),    # col_init
+    ]
+    inputs = [dims, q3, s3, col_init]
+    if affine:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+        inputs.append(cole_init)
+
+    outs = list(pl.pallas_call(
+        kernel,
+        grid=(1,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=scratch,
+        interpret=interpret,
+    )(*inputs))
+    row_out = outs.pop(0)
+    ecol_stage = outs.pop(0).reshape(B, stage_rows, LANES)
+    ns = dims[:, 1]
+    unrot = jax.vmap(
+        lambda st, n_: _unrotate_ecol(st, MRb, jnp.int32(0), n_)
+    )
+    res = {
+        "last_rows": row_out.reshape(B, NW * R * LANES),
+        "last_cols": unrot(ecol_stage, ns),              # (B, M_pad)
+    }
+    if affine:
+        ecole_stage = outs.pop(0).reshape(B, stage_rows, LANES)
+        res["last_cols_e"] = unrot(ecole_stage, ns)
+    return res
+
+
+def _slotted_plan(B: int, Mb: int, Nb: int, ms):
+    """Choose (G, NW, PPE, EPP) for the slotted kernel, or None if the
+    shape is ineligible (cross-epoch column-scratch constraint)."""
+    NW = Nb // W
+    G_CAP = 20
+    if NW <= G_CAP:
+        PPE = max(1, min(G_CAP // NW, B))
+        return PPE * NW, NW, PPE, 1
+    # NW > G: one problem at a time over EPP epochs; chain 0's
+    # next-epoch read must follow chain G-1's prior-epoch write.
+    T_min = 128 * (-(-int(np.min(ms)) // 128)) + 2 * W
+    G = min(G_CAP, (T_min - W - 254) // STAGGER + 1)
+    if G < 2:
+        return None
+    return G, NW, 1, -(-NW // G)
+
+
+def _slotted_col_init(ms, Mb, mode, sc, sgaps):
+    """Host-computed per-problem closed-form left boundary columns
+    H[i][-1] (+ E columns for affine): (B*MRb, 128) arrays."""
+    B = len(ms)
+    affine = isinstance(sc, AffineScoring)
+    ii = np.arange(Mb, dtype=np.int64)
+    col = np.full((B, Mb), NEG, np.int64)
+    cole = np.full((B, Mb), NEG, np.int64) if affine else None
+    for b in range(B):
+        valid = ii < ms[b]
+        if mode is Mode.GLOBAL:
+            if affine:
+                sg = sgaps is not None and int(sgaps[b]) == 1
+                v = (np.int64(NEG) * np.ones(Mb, np.int64) if sg
+                     else sc.gap_open + (ii + 1) * sc.gap_extend)
+            else:
+                v = (ii + 1) * sc.gap
+        else:
+            v = np.zeros(Mb, np.int64)
+        col[b] = np.where(valid, v, NEG)
+    q = np.clip(col, -(2**31) + 1, 2**31 - 1).astype(np.int32)
+    qe = (np.clip(cole, -(2**31) + 1, 2**31 - 1).astype(np.int32)
+          if affine else None)
+    return (jnp.asarray(q.reshape(B * (Mb // LANES), LANES)),
+            jnp.asarray(qe.reshape(B * (Mb // LANES), LANES))
+            if affine else None)
+
+
 def score_pairs_batched(qarr, sarr, ms, ns, mode: Mode, sc,
                         sgaps=None, interpret: bool = False):
     """Batch of independent closed-form GLOBAL/SEMIGLOBAL problems, ONE
@@ -1439,16 +1726,28 @@ def score_pairs_batched(qarr, sarr, ms, ns, mode: Mode, sc,
         Mb = _round_up(m_max + LANES, W)
     if Mb > M_MAX:
         raise ValueError(f"batched kernel mode supports m <= {M_MAX}")
-    # Chain count / padded width from the same measured cost model as
-    # the single-problem path (stagger warmup and round-up padding are
-    # both per problem here, exactly what _pick_g trades off).
-    G = _pick_g(m_max, n_max, emit_col=True, affine=affine)
-    Nb = _round_up(_bucket(n_max, W), G * W)
-    GP = Nb // (G * W)
 
-    # The per-problem dims rows live in SMEM, where each scalar pads to
-    # ~128 bytes -- chunk the batch so the dims window stays small.
-    CHUNK = 256
+    Nb_w = _bucket(n_max, W)
+    plan = _slotted_plan(B, Mb, Nb_w, ms)
+
+    # Chunk the batch: per-problem dims rows live in SMEM (each scalar
+    # pads to ~128 B), and the slotted path keeps every problem's
+    # query/column state resident in VMEM simultaneously.
+    if plan is not None:
+        _, NW, _, _ = plan
+        # Scoped-VMEM budget: the TPU compiler's scoped window is 16 MiB
+        # (observed on v5e); q + col_init + colbuf scratch + s +
+        # last_rows + ecol staging all live in VMEM per call.
+        MRb_ = Mb // LANES
+        SRp_ = (_round_up(Mb + 2 * W, W) // W) * R
+        rows_pp = (MRb_ * (1 + 2 * (2 if affine else 1))  # q, colinit(s),
+                                                          # colbuf(s)
+                   + NW * R * 2                           # s, last_rows
+                   + SRp_ * (2 if affine else 1))         # ecol staging
+        per_prob = rows_pp * LANES * 4
+        CHUNK = max(8, min(512, (12 << 20) // per_prob))
+    else:
+        CHUNK = 256
     if B > CHUNK:
         parts = [
             score_pairs_batched(
@@ -1465,6 +1764,15 @@ def score_pairs_batched(qarr, sarr, ms, ns, mode: Mode, sc,
             for k in parts[0]
         }
 
+    if plan is not None:
+        G, NW, PPE, EPP = _slotted_plan(B, Mb, Nb_w, ms)
+        Nb = Nb_w
+    else:
+        # Fallback: plain batched grid (problems sequential).
+        G = _pick_g(m_max, n_max, emit_col=True, affine=affine)
+        Nb = _round_up(Nb_w, G * W)
+        GP = Nb // (G * W)
+
     q3 = np.full((B, Mb), PAD_Q, np.int32)
     s3 = np.full((B, Nb), PAD_S, np.int32)
     for b in range(B):
@@ -1475,6 +1783,16 @@ def score_pairs_batched(qarr, sarr, ms, ns, mode: Mode, sc,
     dims[:, 1] = ns
     if sgaps is not None:
         dims[:, 2] = np.asarray(sgaps, np.int32)
+
+    if plan is not None:
+        dims[:, 3] = m_max
+        col_init, cole_init = _slotted_col_init(ms, Mb, mode, sc, sgaps)
+        return _score_slotted_padded(
+            jnp.asarray(q3.reshape(B * (Mb // LANES), LANES)),
+            jnp.asarray(s3.reshape(B * (Nb // LANES), LANES)),
+            jnp.asarray(dims), col_init, cole_init, mode, sc,
+            G, NW, PPE, EPP, interpret=interpret,
+        )
 
     return _score_batched_padded(
         jnp.asarray(q3.reshape(B * (Mb // LANES), LANES)),

@@ -117,3 +117,47 @@ def test_align_batch_affine_fallback():
         assert a.score == oracle_affine.align_score_affine(
             q, s, Mode.GLOBAL, sc
         )
+
+
+def test_walk_batch_matches_host_walk():
+    """On-device batched GLOBAL traceback == host walk over the same
+    dense predecessor matrices (byte-for-byte, incl. the space-sparse
+    out_pos = i+j+1 convention)."""
+    import jax.numpy as jnp
+
+    from anyseq_tpu.core.types import EMPTY_SYM
+    from anyseq_tpu.engine import api, batch, tb
+
+    rng = np.random.default_rng(31)
+    B = 7
+    ms = rng.integers(3, 90, B)
+    ns = rng.integers(3, 110, B)
+    qs = [random_dna(rng, int(m)) for m in ms]
+    ss = [random_dna(rng, int(n)) for n in ns]
+    M, N = int(ms.max()), int(ns.max())
+    qarr = np.full((B, M), 254, np.int32)
+    sarr = np.full((B, N), 255, np.int32)
+    for b in range(B):
+        qarr[b, :ms[b]] = np.frombuffer(qs[b], np.uint8)
+        sarr[b, :ns[b]] = np.frombuffer(ss[b], np.uint8)
+
+    preds, _ = batch.preds_batch(
+        jnp.asarray(qarr), jnp.asarray(sarr),
+        jnp.asarray(ms.astype(np.int32)), jnp.asarray(ns.astype(np.int32)),
+        SC,
+    )
+    oq, osub = batch.walk_batch(
+        preds, jnp.asarray(qarr), jnp.asarray(sarr),
+        jnp.asarray(ms.astype(np.int32)), jnp.asarray(ns.astype(np.int32)),
+    )
+    oq = np.asarray(oq)
+    osub = np.asarray(osub)
+    preds_np = np.asarray(preds)
+    for b in range(B):
+        m, n = int(ms[b]), int(ns[b])
+        P = api._haloed_preds(preds_np[b, :m, :n], m, n, Mode.GLOBAL)
+        ref_q = np.full(m + n + 1, EMPTY_SYM, np.uint8)
+        ref_s = np.full(m + n + 1, EMPTY_SYM, np.uint8)
+        tb.walk_linear(qs[b], ss[b], P, (m - 1, n - 1), ref_q, ref_s)
+        np.testing.assert_array_equal(oq[b, :m + n + 1], ref_q)
+        np.testing.assert_array_equal(osub[b, :m + n + 1], ref_s)

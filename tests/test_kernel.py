@@ -326,3 +326,73 @@ def test_kernel_persistent_start_gap(rng):
     np.testing.assert_array_equal(
         np.asarray(outs["last_col"])[:m], np.asarray(ref["last_col"])[:m]
     )
+
+
+@pytest.mark.parametrize("mode", [Mode.GLOBAL, Mode.SEMIGLOBAL])
+@pytest.mark.parametrize("sc", [LIN, AFF], ids=["linear", "affine"])
+def test_kernel_slotted_problems_as_chains(mode, sc, rng):
+    """Slotted batched mode (NW=1: every chain an independent problem)
+    is bit-identical to the per-problem engines."""
+    from anyseq_tpu.engine import xla_affine, xla_linmem
+
+    B = 5
+    ms = [int(rng.integers(150, 300)) for _ in range(B)]
+    ns = [int(rng.integers(400, 900)) for _ in range(B)]
+    qarr = np.full((B, max(ms)), 254, np.int32)
+    sarr = np.full((B, max(ns)), 255, np.int32)
+    qps, sps = [], []
+    for b in range(B):
+        m, n, qp, sp = _prep(rng, ms[b], ns[b])
+        qarr[b, :m] = np.asarray(qp)[:m]
+        sarr[b, :n] = np.asarray(sp)[:n]
+        qps.append(qp)
+        sps.append(sp)
+    out = band.score_pairs_batched(qarr, sarr, ms, ns, mode, sc,
+                                   interpret=True)
+    cols = np.asarray(out["last_cols"])
+    for b in range(B):
+        if isinstance(sc, AffineScoring):
+            ref = xla_affine.score_rows_affine(
+                qps[b], sps[b], ms[b], ns[b], mode, sc
+            )
+        else:
+            ref = xla_linmem.score_rows(
+                qps[b], sps[b], ms[b], ns[b], mode, sc
+            )
+        np.testing.assert_array_equal(
+            cols[b, :ms[b]], np.asarray(ref["last_col"])[:ms[b]]
+        )
+
+
+def test_kernel_slotted_multiwindow_problems(rng):
+    """Slotted mode with NW=3 windows per problem (mixed
+    window/problem chain assignment) and with NW > G (persistent-style
+    multi-epoch problems)."""
+    from anyseq_tpu.engine import xla_linmem
+
+    for B, mlo, nlo, nhi in ((6, 250, 2200, 3000), (3, 1400, 9000, 9800)):
+        ms = [int(rng.integers(mlo, mlo + 100)) for _ in range(B)]
+        ns = [int(rng.integers(nlo, nhi)) for _ in range(B)]
+        qarr = np.full((B, max(ms)), 254, np.int32)
+        sarr = np.full((B, max(ns)), 255, np.int32)
+        qps, sps = [], []
+        for b in range(B):
+            m, n, qp, sp = _prep(rng, ms[b], ns[b])
+            qarr[b, :m] = np.asarray(qp)[:m]
+            sarr[b, :n] = np.asarray(sp)[:n]
+            qps.append(qp)
+            sps.append(sp)
+        out = band.score_pairs_batched(qarr, sarr, ms, ns, Mode.GLOBAL,
+                                       LIN, interpret=True)
+        cols = np.asarray(out["last_cols"])
+        rows = np.asarray(out["last_rows"])
+        for b in range(B):
+            ref = xla_linmem.score_rows(
+                qps[b], sps[b], ms[b], ns[b], Mode.GLOBAL, LIN
+            )
+            np.testing.assert_array_equal(
+                cols[b, :ms[b]], np.asarray(ref["last_col"])[:ms[b]]
+            )
+            np.testing.assert_array_equal(
+                rows[b, :ns[b]], np.asarray(ref["last_row"])[:ns[b]]
+            )
