@@ -277,6 +277,11 @@ def _hb_global(q8, s8, off_i, off_j, out_q, out_s, scoring, engine,
     from anyseq_tpu.kernels import band
 
     use_kernel = engine in ("auto", "pallas") and band.available()
+    # Device-resident sequences for the on-device level step (uploaded
+    # once; every divide level then ships only its (P, 4) parts array
+    # and fetches only the (P,) split rows + scores).
+    qdev = jnp.asarray(q32) if (use_kernel and mesh is None) else None
+    sdev = jnp.asarray(s32) if (use_kernel and mesh is None) else None
     if mesh is not None:
         import math
 
@@ -376,6 +381,30 @@ def _hb_global(q8, s8, off_i, off_j, out_q, out_s, scoring, engine,
                   f"path=per-half {(time.perf_counter()-_lt0)*1e3:.0f}ms")
             _save_level()
             continue
+
+        if use_kernel and mesh is None and max(hs) <= band.M_MAX:
+            # Fully on-device level: gather the half-problems from the
+            # resident sequences, run the slotted kernel, merge hb_sum
+            # on device -- only the (P,) split rows and scores come
+            # back (the per-level problem-array upload + column fetch
+            # otherwise dominates deep levels on a tunneled TPU).
+            lvl = band.score_level_parts(
+                qdev, sdev, np.asarray(parts, np.int64), scoring
+            )
+            if lvl is not None:
+                ks_arr, sc_arr = lvl
+                for p, (qlo, qhi, slo, shi) in enumerate(parts):
+                    mid = mids[p]
+                    if root_score is None:
+                        root_score = int(sc_arr[p])
+                    k = int(ks_arr[p])
+                    classify((qlo, qlo + k + 1, slo, slo + mid))
+                    classify((qlo + k + 1, qhi, slo + mid, shi))
+                _tlog(f"level P={P} maxh={max(hs)} maxmid={max(mids)} "
+                      f"path=device-level "
+                      f"{(time.perf_counter()-_lt0)*1e3:.0f}ms")
+                _save_level()
+                continue
         Mb = batch._bucket(max(hs))
         Nb = batch._bucket(max(max(mids), max(
             (p[3] - p[2]) - mi for p, mi in zip(parts, mids)

@@ -1655,6 +1655,134 @@ def _score_slotted_padded(q3, s3, dims, col_init, cole_init, mode: Mode,
     return res
 
 
+@functools.partial(
+    jax.jit, static_argnames=("sc", "G", "NW", "PPE", "EPP", "Mb", "Nb",
+                              "interpret")
+)
+def _score_level_padded(q_dev, s_dev, parts, sc, G, NW, PPE, EPP, Mb,
+                        Nb, interpret=False):
+    """One whole Hirschberg divide level ON DEVICE: build the 2P
+    half-problems by gather from the resident sequences, run the
+    slotted wavefront kernel, and do the hb_sum argmax merge
+    (traceback_lintime.impala:44-135) -- only the (P,) split rows and
+    scores leave the device. On a tunneled TPU the per-level H2D/D2H
+    traffic (problem arrays + boundary columns, ~5 MB) otherwise costs
+    more than the level's compute.
+
+    q_dev/s_dev: (m,)/(n,) int32 resident sequences; parts: (P, 4)
+    int32 [qlo, qhi, slo, shi]. Linear GLOBAL scoring only (the
+    Myers-Miller affine level loop keeps its own path).
+    Returns (k, score): per-part split row (in [-1, h-1], ties ->
+    smallest) and merged score."""
+    P = parts.shape[0]
+    B = 2 * P
+    qlo, qhi = parts[:, 0], parts[:, 1]
+    slo, shi = parts[:, 2], parts[:, 3]
+    hs = qhi - qlo
+    wd_ = shi - slo
+    mids = wd_ // 2
+    rws = wd_ - mids
+    g = sc.gap
+
+    ii = jnp.arange(Mb, dtype=jnp.int32)
+    qmax = q_dev.shape[0] - 1
+    qf = jnp.where(
+        ii[None, :] < hs[:, None],
+        q_dev[jnp.clip(qlo[:, None] + ii[None, :], 0, qmax)], PAD_Q
+    )
+    qr = jnp.where(
+        ii[None, :] < hs[:, None],
+        q_dev[jnp.clip(qhi[:, None] - 1 - ii[None, :], 0, qmax)], PAD_Q
+    )
+    q3 = jnp.stack([qf, qr], 1).reshape(B, Mb)
+    jj = jnp.arange(Nb, dtype=jnp.int32)
+    smax = s_dev.shape[0] - 1
+    sf = jnp.where(
+        jj[None, :] < mids[:, None],
+        s_dev[jnp.clip(slo[:, None] + jj[None, :], 0, smax)], PAD_S
+    )
+    sr = jnp.where(
+        jj[None, :] < rws[:, None],
+        s_dev[jnp.clip(shi[:, None] - 1 - jj[None, :], 0, smax)], PAD_S
+    )
+    s3 = jnp.stack([sf, sr], 1).reshape(B, Nb)
+
+    ms2 = jnp.stack([hs, hs], 1).reshape(B).astype(jnp.int32)
+    ns2 = jnp.stack([mids, rws], 1).reshape(B).astype(jnp.int32)
+    dims = jnp.stack(
+        [ms2, ns2, jnp.zeros_like(ms2),
+         jnp.full_like(ms2, jnp.max(hs).astype(jnp.int32))], 1
+    )
+    ci = jnp.where(
+        ii[None, :] < ms2[:, None], (ii[None, :] + 1) * g, NEG
+    ).astype(Score)
+
+    res = _score_slotted_padded(
+        q3.reshape(-1, LANES), s3.reshape(-1, LANES), dims,
+        ci.reshape(-1, LANES), None, Mode.GLOBAL, sc,
+        G, NW, PPE, EPP, interpret=interpret,
+    )
+    cols = res["last_cols"]                     # (B, Mb)
+    L, Rv = cols[0::2], cols[1::2]              # (P, Mb)
+
+    # hb_sum: F(j) over j in [0, h], j = k + 1 (edges = all-gap halves).
+    jm = jnp.arange(Mb + 1, dtype=jnp.int32)
+    h_ = hs[:, None]
+    l_at = jnp.take_along_axis(L, jnp.clip(jm[None, :] - 1, 0, Mb - 1), 1)
+    r_at = jnp.take_along_axis(
+        Rv, jnp.clip(h_ - 1 - jm[None, :], 0, Mb - 1), 1
+    )
+    l_last = jnp.take_along_axis(L, h_ - 1, 1)
+    r_last = jnp.take_along_axis(Rv, h_ - 1, 1)
+    F = l_at + r_at
+    F = jnp.where(jm[None, :] == 0, mids[:, None] * g + r_last, F)
+    F = jnp.where(jm[None, :] == h_, l_last + rws[:, None] * g, F)
+    F = jnp.where(jm[None, :] > h_, jnp.int32(-(2**30)), F)
+    k = jnp.argmax(F, axis=1).astype(jnp.int32) - 1   # first max: ties
+    score = jnp.max(F, axis=1)                        # -> smallest k
+    return k, score
+
+
+def score_level_parts(q_dev, s_dev, parts_np, sc, interpret=False):
+    """Host driver for _score_level_padded: bucket, plan, chunk against
+    the scoped-VMEM window. Returns (ks, scores) numpy arrays, or None
+    if the level shape is ineligible for the slotted kernel."""
+    hs = parts_np[:, 1] - parts_np[:, 0]
+    wd = parts_np[:, 3] - parts_np[:, 2]
+    mids = wd // 2
+    rws = wd - mids
+    m_max = int(hs.max())
+    n_max = int(max(mids.max(), rws.max()))
+    Mb = _bucket(m_max, W)
+    if Mb - m_max < LANES:
+        Mb = _round_up(m_max + LANES, W)
+    if Mb > M_MAX:
+        return None
+    Nb = _bucket(n_max, W)
+    per_prob = ((Mb // LANES) * 3 + (Nb // W) * R * 2
+                + (_round_up(Mb + 2 * W, W) // W) * R) * LANES * 4
+    chunk_p = max(4, (12 << 20) // (2 * per_prob))
+    ks, scores = [], []
+    for lo in range(0, len(parts_np), chunk_p):
+        ch = parts_np[lo: lo + chunk_p]
+        ms2 = np.repeat(ch[:, 1] - ch[:, 0], 2)
+        plan = _slotted_plan(2 * len(ch), Mb, Nb, ms2)
+        if plan is None:
+            return None
+        G, NW, PPE, EPP = plan
+        k, s = _score_level_padded(
+            q_dev, s_dev, jnp.asarray(ch.astype(np.int32)), sc,
+            G, NW, PPE, EPP, Mb, Nb, interpret=interpret,
+        )
+        ks.append(k)
+        scores.append(s)
+    # One fetch for all chunks (async dispatches pipeline; a fetch per
+    # chunk would pay the tunnel round trip each).
+    ks = jax.device_get(ks)
+    scores = jax.device_get(scores)
+    return np.concatenate(ks), np.concatenate(scores)
+
+
 def _slotted_plan(B: int, Mb: int, Nb: int, ms):
     """Choose (G, NW, PPE, EPP) for the slotted kernel, or None if the
     shape is ineligible (cross-epoch column-scratch constraint)."""

@@ -13,20 +13,23 @@ speed-of-light: the kernel's inner loop is ~19 dependent+parallel vector
 lane-ops per cell, and the v5e VPU issues ~3.9e12 int32 lane-ops/s, so
 SOL ~= 200 Gcells/s; mfu = GCUPS / 200.
 
-Round-3 SOL analysis (emitted as ``sol_analysis``): after the op-count
-attack (mask-free fast local tracking, stacked stream register, dropped
-keep-masks) the fast-local step is ~19 vector ops per 1024-cell step,
-of which 5 are cross-lane rolls -- and 4 of those (the qd and d1s
-position shifts) are algorithmically irreducible for a positional
-wavefront (the diagonal and the query symbols must both move one
-position per step; every known frame needs >= 2 shifts). Measured
-t_step at the G=20 plateau is ~14.3 ns = ~24 cycles at 1.7 GHz, i.e.
-~1.3 cycles/vector-op including the rolls: the kernel is VPU
-ISSUE-bound (more chains stopped helping at G=20 and registers spill at
-G>=22), not dependency-latency-bound. Ceiling at 1 op/cycle would be
-~105 Gcells/s; the residual gap is roll throughput on the cross-lane
-unit. G sweep (100k local SW): G=10 64.3, G=16 67.3, G=20 72.8-73.2,
-G=22 64.5, G=24 58.0 GCUPS.
+Round-3 SOL analysis (emitted as ``sol_analysis``): two structural
+changes on top of the round-2 op slimming. (1) PERSISTENT CHAINS: grid
+mode idled every chain (G-1)*STAGGER steps per window group (~18% of
+wall at this shape); the persistent kernel reborn chains continuously,
+paying the fill once per call. (2) SCORE-ONLY TRACKING: the headline
+is a score call (the reference's score() returns the score alone,
+align.impala:218-235), so the local path drops the improvement-select
+pair, leaving ~18 vector ops per 1024-cell step, 5 cross-lane rolls --
+4 of them (the qd and d1s position shifts) algorithmically irreducible
+for a positional wavefront (diagonal and query symbols must both move
+one position per step). Measured ~79-83 GCUPS (run-to-run tunnel
+variance ~5%): ~21 cycles per window-step at 1.7 GHz = ~1.15
+cycles/vector-op -- VPU ISSUE-bound (G plateau at 20, register spill
+at 22+), not latency-bound. Ceiling at 1 op/cycle with 18 ops would be
+~97 Gcells/s steady-state; the residual is issue-slot overhead (chunk
+reloads, rebirth selects, flush branches). G sweep (100k local SW,
+persistent): G=16 72.3, G=20 79-83, G=22 72.0 GCUPS.
 
 Timing is slope-based: K back-to-back dispatches with a single host
 fetch at the end, minus the 1-dispatch time, divided by K-1. This
@@ -122,13 +125,14 @@ def main():
         "vs_baseline": round(gcups / REFERENCE_PROXY_GCUPS, 3),
         "mfu_vs_vpu_sol": round(gcups / VPU_SOL_GCUPS, 3),
         "sol_analysis": {
-            "ops_per_step": 19,
+            "ops_per_step": 18,
             "rolls_per_step": 5,
             "irreducible_rolls": 4,
-            "t_step_ns_at_G20": round(1024 * 20 / gcups / 1e0, 1)
-            if gcups else None,
+            "persistent_chains": True,
+            "score_only_tracking": True,
+            "t_step_ns": round(1024 / gcups, 1) if gcups else None,
             "bound": "VPU issue (G plateau at 20, spill at 22+); "
-                     "1 op/cycle ceiling ~105 Gcells/s",
+                     "1 op/cycle ceiling ~97 Gcells/s at 18 ops/step",
         },
     }))
 

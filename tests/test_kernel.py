@@ -396,3 +396,43 @@ def test_kernel_slotted_multiwindow_problems(rng):
             np.testing.assert_array_equal(
                 rows[b, :ns[b]], np.asarray(ref["last_row"])[:ns[b]]
             )
+
+
+def test_kernel_device_level_step(rng):
+    """Fully on-device Hirschberg level (gathers + slotted kernel +
+    hb_sum merge) returns the same (split, score) as the host merge
+    over the XLA engines."""
+    import jax.numpy as jnp
+
+    from anyseq_tpu.engine import xla_linmem
+    from anyseq_tpu.engine.hirschberg import _merge_halves
+
+    m, n = 1500, 1600
+    q32 = np.asarray(rng.integers(0, 4, m), np.int32)
+    s32 = np.asarray(rng.integers(0, 4, n), np.int32)
+    partsets = [
+        [(0, 700, 0, 600), (700, 1500, 600, 1600)],
+    ]
+    for parts in partsets:
+        got = band.score_level_parts(
+            jnp.asarray(q32), jnp.asarray(s32),
+            np.asarray(parts, np.int64), LIN, interpret=True,
+        )
+        assert got is not None
+        ks, scs = got
+        for p, (qlo, qhi, slo, shi) in enumerate(parts):
+            h, w = qhi - qlo, shi - slo
+            mid = w // 2
+            qa = q32[qlo:qhi]
+            sa = s32[slo:slo + mid]
+            qb = np.ascontiguousarray(qa[::-1])
+            sb = np.ascontiguousarray(s32[slo + mid:shi][::-1])
+            L = np.asarray(xla_linmem.score_rows(
+                jnp.asarray(qa), jnp.asarray(sa), h, mid,
+                Mode.GLOBAL, LIN)["last_col"])[:h].astype(np.int64)
+            Rv = np.asarray(xla_linmem.score_rows(
+                jnp.asarray(qb), jnp.asarray(sb), h, w - mid,
+                Mode.GLOBAL, LIN)["last_col"])[:h].astype(np.int64)
+            k_ref, s_ref = _merge_halves(L, Rv, h, mid, w - mid,
+                                         LIN.gap)
+            assert (int(ks[p]), int(scs[p])) == (k_ref, s_ref)
