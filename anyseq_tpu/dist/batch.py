@@ -179,7 +179,14 @@ def align_scores_batch_sharded(queries, subjects, mode="global",
         key = (_batch._bucket(len(a)), _batch._bucket(len(b)))
         buckets.setdefault(key, []).append(idx)
 
-    if mode is Mode.SEMIGLOBAL:
+    from anyseq_tpu.core.types import AffineScoring
+
+    if isinstance(scoring, AffineScoring):
+        inner = lambda q_, s_, ms_, ns_: _batch._score_batch_affine(
+            q_, s_, ms_, ns_, mode, scoring
+        )
+        out_specs = P(ax)
+    elif mode is Mode.SEMIGLOBAL:
         inner = lambda q_, s_, ms_, ns_: _batch._score_batch_semiglobal(
             q_, s_, ms_, ns_, mode, scoring
         )

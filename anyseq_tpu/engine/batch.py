@@ -169,6 +169,86 @@ def _score_batch_semiglobal(q, s, ms, ns, mode: Mode, sc: LinearScoring):
     return jnp.maximum(jnp.maximum(row_max, col_max), 0)
 
 
+@functools.partial(jax.jit, static_argnames=("mode", "sc"))
+def _score_batch_affine(q, s, ms, ns, mode: Mode, sc):
+    """Batched Gotoh (affine-gap) scores for all three modes in one sweep.
+
+    Same batched row-sweep architecture as :func:`_score_batch` with the
+    extra E prefix-scan of engine/xla_affine.score_rows_affine (the affine
+    upgrade is one more ``lax.cummax`` per row, not a sequential loop).
+    Score extraction matches xla_linmem.extract_score_from_outputs:
+    GLOBAL = H[m-1][n-1]; SEMIGLOBAL = max(last row, last column, 0
+    empty-overlap boundary); LOCAL = running clamped max.
+    """
+    from anyseq_tpu.engine.xla_affine import NEG
+
+    B, M = q.shape
+    N = s.shape[1]
+    go, ge = sc.gap_open, sc.gap_extend
+    jge = jnp.arange(N, dtype=Score) * ge
+    jmask = jnp.arange(N)[None, :] < ns[:, None]
+
+    if mode is Mode.GLOBAL:
+        row0 = (go + (jnp.arange(N, dtype=Score) + 1) * ge)[None, :].repeat(
+            B, 0
+        )
+    else:
+        row0 = jnp.zeros((B, N), Score)
+
+    def col_bound(i):
+        # H[i][-1] per pair; i is (B,) int32 (corner H[-1][-1] = 0)
+        if mode is Mode.GLOBAL:
+            return jnp.where(i < 0, 0, go + (i + 1) * ge).astype(Score)
+        return jnp.zeros_like(i, Score)
+
+    def body(i, carry):
+        H_prev, F_prev, col_max, best = carry
+        active = i < ms
+        ib = jnp.full((B,), i, Score)
+        col_i = col_bound(ib)
+        col_im1 = col_bound(ib - 1)
+        F = jnp.maximum(H_prev + (go + ge), F_prev + ge)
+        diag = jnp.concatenate([col_im1[:, None], H_prev[:, :-1]], axis=1)
+        qi = jnp.take_along_axis(
+            q, jnp.minimum(i, ms - 1)[:, None].astype(jnp.int32), axis=1
+        )
+        sub = jnp.where(qi == s, sc.match, sc.mismatch).astype(Score)
+        T = jnp.maximum(diag + sub, F)
+        if mode is Mode.LOCAL:
+            T = jnp.maximum(T, 0)
+        cm = jax.lax.cummax(T - jge[None, :], axis=1)
+        E = go + jge[None, :] + jnp.maximum(
+            jnp.concatenate(
+                [jnp.full((B, 1), NEG, Score), cm[:, :-1]], axis=1
+            ),
+            (col_i + ge)[:, None],
+        )
+        H = jnp.maximum(T, E)
+        H = jnp.where(active[:, None], H, H_prev)
+        F = jnp.where(active[:, None], F, F_prev)
+        lc = jnp.take_along_axis(H, (ns - 1)[:, None], axis=1)[:, 0]
+        col_max = jnp.where(active, jnp.maximum(col_max, lc), col_max)
+        if mode is Mode.LOCAL:
+            rmax = jnp.max(jnp.where(jmask, H, SCORE_MIN), axis=1)
+            best = jnp.where(active, jnp.maximum(best, rmax), best)
+        return H, F, col_max, best
+
+    init = (
+        row0,
+        jnp.full((B, N), NEG, Score),
+        jnp.full((B,), SCORE_MIN, Score),
+        jnp.full((B,), SCORE_MIN, Score),
+    )
+    last_row, _, col_max, best = jax.lax.fori_loop(0, jnp.max(ms), body, init)
+
+    if mode is Mode.GLOBAL:
+        return jnp.take_along_axis(last_row, (ns - 1)[:, None], axis=1)[:, 0]
+    if mode is Mode.SEMIGLOBAL:
+        row_max = jnp.max(jnp.where(jmask, last_row, SCORE_MIN), axis=1)
+        return jnp.maximum(jnp.maximum(row_max, col_max), 0)
+    return jnp.maximum(best, 0)  # LOCAL
+
+
 @functools.partial(jax.jit, static_argnames=("sc",))
 def last_cols_batch(q, s, ms, ns, sc: LinearScoring):
     """Global-DP boundary columns for a batch of pairs, in one sweep.
@@ -638,7 +718,14 @@ def align_scores_batch(queries, subjects, mode="global",
                 sarr[r, : len(ss[i])] = ss[i]
                 ms[r] = len(qs[i])
                 ns[r] = len(ss[i])
-            if mode is Mode.SEMIGLOBAL:
+            from anyseq_tpu.core.types import AffineScoring
+
+            if isinstance(scoring, AffineScoring):
+                scores = _score_batch_affine(
+                    jnp.asarray(qarr), jnp.asarray(sarr),
+                    jnp.asarray(ms), jnp.asarray(ns), mode, scoring,
+                )
+            elif mode is Mode.SEMIGLOBAL:
                 scores = _score_batch_semiglobal(
                     jnp.asarray(qarr), jnp.asarray(sarr),
                     jnp.asarray(ms), jnp.asarray(ns), mode, scoring,

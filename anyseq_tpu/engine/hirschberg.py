@@ -158,18 +158,28 @@ def _write_all_gap_subject(s8, off_i, off_j, out_q, out_s):
     """Emit subject symbols against query gaps (empty query side).
 
     These ops belong to boundary cells (-1, j), whose sparse position is
-    i + j + 1 = j (reference traceback.impala:61 with i = -1)."""
-    for j in range(len(s8)):
-        pos = off_i + off_j + j
-        out_q[pos] = ord("_")
-        out_s[pos] = int(s8[j])
+    i + j + 1 = j (reference traceback.impala:61 with i = -1). Vectorized
+    numpy slice writes: a degenerate h==0 part at Mbp scale must not burn
+    interpreter time per symbol."""
+    n = len(s8)
+    if n == 0:
+        return
+    base = off_i + off_j
+    out_q[base: base + n] = ord("_")
+    out_s[base: base + n] = (
+        s8 if isinstance(s8, np.ndarray) else np.frombuffer(s8, np.uint8)
+    )
 
 
 def _write_all_gap_query(q8, off_i, off_j, out_q, out_s):
-    for i in range(len(q8)):
-        pos = off_i + off_j + i
-        out_q[pos] = int(q8[i])
-        out_s[pos] = ord("_")
+    m = len(q8)
+    if m == 0:
+        return
+    base = off_i + off_j
+    out_q[base: base + m] = (
+        q8 if isinstance(q8, np.ndarray) else np.frombuffer(q8, np.uint8)
+    )
+    out_s[base: base + m] = ord("_")
 
 
 def _merge_halves(L, Rv, h, mid_w, right_w, g):

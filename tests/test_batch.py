@@ -47,6 +47,55 @@ def test_batch_custom_scoring():
         assert got[i] == oracle.align_score(qs[i], ss[i], Mode.LOCAL, sc)
 
 
+@pytest.mark.parametrize("mode", MODES)
+def test_batch_affine_scores(mode):
+    """align_scores_batch with AffineScoring: bit-exact vs the affine
+    oracle in all three modes (regression: used to raise AttributeError
+    reading sc.gap, VERDICT r3 weak #3)."""
+    from anyseq_tpu.core.types import AffineScoring
+    from anyseq_tpu.ref import oracle_affine
+
+    sc = AffineScoring(2, -1, -3, -1)
+    rng = np.random.default_rng(27)
+    qs, ss = [], []
+    for _ in range(10):
+        q = random_dna(rng, int(rng.integers(5, 110)))
+        s = mutate(rng, q) if rng.random() < 0.5 else random_dna(
+            rng, int(rng.integers(5, 110))
+        )
+        qs.append(q)
+        ss.append(s)
+    got = align_scores_batch(qs, ss, mode, sc)
+    for i, (q, s) in enumerate(zip(qs, ss)):
+        assert got[i] == oracle_affine.align_score_affine(q, s, mode, sc), (
+            mode, i,
+        )
+
+
+def test_batch_affine_scores_sharded():
+    """align_scores_batch_sharded with AffineScoring over a cpu mesh."""
+    import jax
+    from jax.sharding import Mesh
+
+    from anyseq_tpu.core.types import AffineScoring
+    from anyseq_tpu.dist.batch import align_scores_batch_sharded
+    from anyseq_tpu.ref import oracle_affine
+
+    devs = jax.devices()
+    if len(devs) < 2:
+        pytest.skip("needs >= 2 devices")
+    mesh = Mesh(np.array(devs[:2]), ("dp",))
+    sc = AffineScoring(2, -1, -2, -1)
+    rng = np.random.default_rng(28)
+    qs = [random_dna(rng, int(rng.integers(5, 90))) for _ in range(7)]
+    ss = [random_dna(rng, int(rng.integers(5, 90))) for _ in range(7)]
+    got = align_scores_batch_sharded(qs, ss, Mode.SEMIGLOBAL, sc, mesh=mesh)
+    for i in range(7):
+        assert got[i] == oracle_affine.align_score_affine(
+            qs[i], ss[i], Mode.SEMIGLOBAL, sc
+        )
+
+
 def test_batch_empty_rejected():
     with pytest.raises(ValueError):
         align_scores_batch([b""], [b"ACGT"], Mode.GLOBAL, SC)

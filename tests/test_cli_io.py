@@ -195,3 +195,29 @@ def test_cli_batch_score_only(tmp_path, capsys):
     out = capsys.readouterr().out
     assert rc == 0
     assert "pair 0: score 14" in out
+
+
+def test_cli_batch_score_only_affine(tmp_path, capsys):
+    """--batch --score-only --affine (regression: raised AttributeError
+    in r3, VERDICT weak #3)."""
+    from anyseq_tpu import cli
+    from anyseq_tpu.core.types import AffineScoring
+    from anyseq_tpu.ref import oracle_affine
+
+    q = tmp_path / "q.fna"
+    s = tmp_path / "s.fna"
+    q.write_text(">a\nGATTACAGATTACA\n>b\nACGTACGT\n")
+    s.write_text(">a\nGATTTACAGATACA\n>b\nACGAACGT\n")
+    rc = cli.main(["-b", str(q), str(s), "--mode", "local",
+                   "--score-only", "--affine", "-3", "-1"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    sc = AffineScoring(2, -1, -3, -1)
+    e0 = oracle_affine.align_score_affine(
+        b"GATTACAGATTACA", b"GATTTACAGATACA", "local", sc
+    )
+    e1 = oracle_affine.align_score_affine(
+        b"ACGTACGT", b"ACGAACGT", "local", sc
+    )
+    assert f"pair 0: score {e0}" in out
+    assert f"pair 1: score {e1}" in out
