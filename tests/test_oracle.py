@@ -131,3 +131,15 @@ def test_score_matches_bruteforce_tiny(mode):
         assert score == max(
             max(H(i, j) for i in range(m) for j in range(n)), 0
         )
+
+
+def test_debug_dump_matrix():
+    """utils/debug.py introspection (reference utils.impala:51-152 analog):
+    renders without error and shows the DP values for tiny inputs."""
+    from anyseq_tpu.core.types import AffineScoring, LinearScoring
+    from anyseq_tpu.utils.debug import format_dp_state
+
+    out = format_dp_state(b"GAT", b"GT", "global", LinearScoring(2, -1, -1))
+    assert "H:" in out and "preds" in out and "\\" in out
+    out = format_dp_state(b"GAT", b"GT", "local", AffineScoring(2, -1, -3, -1))
+    assert "E (gap in query" in out and "-inf" in out

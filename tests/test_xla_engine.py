@@ -23,7 +23,16 @@ def test_score_parity_small(mode, sc):
         s = random_dna(rng, int(rng.integers(1, 90)))
         expected = oracle.align_score(q, s, mode, sc)
         got = anyseq_tpu.align_score(q, s, mode, sc, engine="xla")
-        assert got == expected, (mode, sc, q, s)
+        if got != expected:
+            # full DP state in the failure message (utils/debug.py)
+            from anyseq_tpu.utils.debug import format_dp_state
+
+            state = (format_dp_state(q[:24], s[:24], mode, sc)
+                     if max(len(q), len(s)) <= 24 else "")
+            raise AssertionError(
+                f"{mode} {sc} got={got} expected={expected}\n"
+                f"q={q!r}\ns={s!r}\n{state}"
+            )
 
 
 @pytest.mark.parametrize("mode", MODES)
