@@ -106,6 +106,12 @@ def main(argv=None) -> int:
              "record i); batched data-parallel engine "
              "(beyond-reference capability)",
     )
+    group.add_argument(
+        "--parity", metavar="REF",
+        help="diff a real reference binary (or a directory of recorded "
+             "`align -r` outputs) against the committed golden corpus "
+             "(tests/golden/); see anyseq_tpu/parity.py",
+    )
     parser.add_argument(
         "--score-only", action="store_true",
         help="batch mode: report scores without constructing alignments",
@@ -153,6 +159,11 @@ def main(argv=None) -> int:
         from anyseq_tpu.dist.mesh import make_mesh
 
         mesh = make_mesh()
+
+    if args.parity:
+        from anyseq_tpu.parity import run_parity
+
+        return run_parity(args.parity, out)
 
     if args.batch:
         from anyseq_tpu.io.fasta import make_sequence_reader
