@@ -29,6 +29,20 @@ def _device_count(mesh: Mesh) -> int:
     return math.prod(mesh.shape.values())
 
 
+def fetch(x) -> np.ndarray:
+    """Host numpy copy of a possibly globally-sharded array.
+
+    In a multi-process (multi-host DCN) run, a dp-sharded shard_map
+    output spans non-addressable devices and plain ``np.asarray`` raises;
+    gather the global value across processes first. Single-process runs
+    take the direct path."""
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+    return np.asarray(x)
+
+
 def _axes(mesh: Mesh):
     return tuple(mesh.axis_names)
 
@@ -220,5 +234,5 @@ def align_scores_batch_sharded(queries, subjects, mode="global",
                 out_specs=out_specs, check_vma=False,
             )
             scores = fn(q_, s_, ms_, ns_)[:B0]
-            out[np.asarray(chunk)] = np.asarray(scores)
+            out[np.asarray(chunk)] = fetch(scores)[:B0]
     return out

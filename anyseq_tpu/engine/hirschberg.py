@@ -292,10 +292,11 @@ def _hb_global(q8, s8, off_i, off_j, out_q, out_s, scoring, engine,
     # and fetches only the (P,) split rows + scores).
     qdev = jnp.asarray(q32) if (use_kernel and mesh is None) else None
     sdev = jnp.asarray(s32) if (use_kernel and mesh is None) else None
+    from anyseq_tpu.dist import batch as dist_batch  # fetch() on all paths
+
     if mesh is not None:
         import math
 
-        from anyseq_tpu.dist import batch as dist_batch
         from anyseq_tpu.dist.sharded import score_pair_sharded
 
         n_dev = math.prod(mesh.shape.values())
@@ -434,7 +435,7 @@ def _hb_global(q8, s8, off_i, off_j, out_q, out_s, scoring, engine,
             ns[2 * p] = mid
             ns[2 * p + 1] = shi - slo - mid
         if mesh is not None:
-            cols = np.asarray(dist_batch.last_cols_batch_sharded(
+            cols = dist_batch.fetch(dist_batch.last_cols_batch_sharded(
                 jnp.asarray(qarr), jnp.asarray(sarr),
                 jnp.asarray(ms), jnp.asarray(ns), scoring, mesh,
             )).T                                   # -> (B, M)
@@ -493,7 +494,7 @@ def _hb_global(q8, s8, off_i, off_j, out_q, out_s, scoring, engine,
                     jnp.asarray(qarr), jnp.asarray(sarr),
                     jnp.asarray(ms), jnp.asarray(ns), scoring, mesh,
                 )
-                preds = np.asarray(preds)
+                preds = dist_batch.fetch(preds)
                 for b, (qlo, qhi, slo, shi) in enumerate(chunk):
                     h, w = qhi - qlo, shi - slo
                     Pm = api._haloed_preds(
@@ -673,10 +674,11 @@ def _hb_global_affine(q8, s8, off_i, off_j, out_q, out_s, sc, engine,
     from anyseq_tpu.kernels import band
 
     use_kernel = engine in ("auto", "pallas") and band.available()
+    from anyseq_tpu.dist import batch as dist_batch  # fetch() on all paths
+
     if mesh is not None:
         import math
 
-        from anyseq_tpu.dist import batch as dist_batch
         from anyseq_tpu.dist.sharded import score_pair_sharded
 
         n_dev = math.prod(mesh.shape.values())
@@ -796,8 +798,8 @@ def _hb_global_affine(q8, s8, off_i, off_j, out_q, out_s, sc, engine,
                 jnp.asarray(ms), jnp.asarray(ns), sc,
                 jnp.asarray(sgaps), mesh,
             )
-            cols_h = np.asarray(cols_h).T          # -> (B, M)
-            cols_e = np.asarray(cols_e).T
+            cols_h = dist_batch.fetch(cols_h).T    # -> (B, M)
+            cols_e = dist_batch.fetch(cols_e).T
         elif use_kernel and max(hs) <= band.M_MAX:
             # ONE kernel launch for the whole level (grid over halves;
             # per-problem start_gap flags ride the dims rows).
@@ -871,9 +873,9 @@ def _hb_global_affine(q8, s8, off_i, off_j, out_q, out_s, sc, engine,
                     jnp.asarray(ms), jnp.asarray(ns), sc,
                     jnp.asarray(sgaps),
                 )
-            preds = np.asarray(preds)
-            cols_h = np.asarray(cols_h)
-            cols_e = np.asarray(cols_e)
+            preds = dist_batch.fetch(preds)
+            cols_h = dist_batch.fetch(cols_h)
+            cols_e = dist_batch.fetch(cols_e)
             for b, (qlo, qhi, slo, shi, sg, eg) in enumerate(chunk):
                 h, w = qhi - qlo, shi - slo
                 if root_score is None and (qhi - qlo, shi - slo) == (m, n):

@@ -96,8 +96,15 @@ NEG = -(2**29)
 PAD_Q = 300
 PAD_S = 301
 
-# Window geometry: R sublanes x 128 lanes = W subject positions.
-R = 8
+# Window geometry: R sublanes x 128 lanes = W subject positions. R=8 is
+# the native (8,128) vreg height; ANYSEQ_R=16 doubles the window (two
+# vregs per state register): elementwise ops scale 2x for 2x cells, but
+# the per-chain (1,128) feed/accumulator ops and the per-step scalar
+# bookkeeping are halved per cell -- measured on-chip before changing
+# the default (see bench/suite.py).
+import os as _os
+
+R = int(_os.environ.get("ANYSEQ_R", "8"))
 LANES = 128
 W = R * LANES
 
@@ -231,10 +238,10 @@ def _make_kernel(mode: Mode, sc, emit_col: bool, G: int,
             "batched mode: closed-form GLOBAL/SEMIGLOBAL emit_col "
             "problems only (start_gap rides the per-problem dims row)"
         )
-    if collective_axis and (not boundary or affine or emit_preds):
+    if collective_axis and (not boundary or emit_preds):
         raise NotImplementedError(
-            "collective halo exchange requires boundary mode with "
-            "linear scoring and no pred emission"
+            "collective halo exchange requires boundary mode with no "
+            "pred emission"
         )
     if persistent and (boundary or batched or collective_axis
                        or emit_preds):
@@ -308,6 +315,12 @@ def _make_kernel(mode: Mode, sc, emit_col: bool, G: int,
         if collective_axis:
             recv_sem = rest.pop(0)
             send_sem = rest.pop(0)
+            if affine:
+                # Separate semaphore pair for the E-column halo stream
+                # (the Gotoh horizontal-gap state crosses the chip
+                # boundary alongside H).
+                recv_sem_e = rest.pop(0)
+                send_sem_e = rest.pop(0)
         if slotted is not None:
             gr = pl.program_id(0)          # grid (1,)
             # Uniform sweep length from the level's max m (dims col 3);
@@ -345,6 +358,20 @@ def _make_kernel(mode: Mode, sc, emit_col: bool, G: int,
                     recv_sem=recv_sem,
                     device_id=(jnp.where(k_idx + 1 < K_ax, k_idx + 1, 0),),
                 )
+
+            if affine:
+                def _row_rdma_e(row):
+                    """The matching E-column chunk (Gotoh horizontal
+                    state) on its own semaphore pair."""
+                    return pltpu.make_async_remote_copy(
+                        src_ref=colbuf_e_s.at[pl.ds(row, 1), :],
+                        dst_ref=colbuf_e_s.at[pl.ds(row, 1), :],
+                        send_sem=send_sem_e,
+                        recv_sem=recv_sem_e,
+                        device_id=(
+                            jnp.where(k_idx + 1 < K_ax, k_idx + 1, 0),
+                        ),
+                    )
 
             @pl.when(gr == 0)
             def _():
@@ -728,6 +755,8 @@ def _make_kernel(mode: Mode, sc, emit_col: bool, G: int,
                     ))
                     def _(crow=crow):
                         _row_rdma(crow).wait_recv()
+                        if affine:
+                            _row_rdma_e(crow).wait_recv()
                 # Rebuild the feed rows of the stacked streams register
                 # (colacc rows 2/4 are preserved; only every 128th step).
                 cr = cb_base[g] + crow
@@ -892,10 +921,14 @@ def _make_kernel(mode: Mode, sc, emit_col: bool, G: int,
                             @pl.when(jnp.logical_and(send_ok, r_fl >= 1))
                             def _(r_fl=r_fl):
                                 _row_rdma(r_fl - 1).wait_send()
+                                if affine:
+                                    _row_rdma_e(r_fl - 1).wait_send()
 
                             @pl.when(send_ok)
                             def _(r_fl=r_fl):
                                 _row_rdma(r_fl).start()
+                                if affine:
+                                    _row_rdma_e(r_fl).start()
 
                     if emit_preds:
                         # Predecessor code, priority diag > gap_q >
@@ -1181,6 +1214,8 @@ def _make_kernel(mode: Mode, sc, emit_col: bool, G: int,
                 @pl.when(jnp.logical_and(k_idx < K_ax - 1, nrm >= 1))
                 def _():
                     _row_rdma(nrm - 1).wait_send()
+                    if affine:
+                        _row_rdma_e(nrm - 1).wait_send()
             if boundary:
                 # After the final window, colbuf holds the band's right
                 # boundary column (the last window's right edge).
@@ -1443,6 +1478,11 @@ def _score_band_padded(q2, s2, row2, col2, corners, m, n, mode: Mode, sc,
             pltpu.SemaphoreType.DMA(()),   # recv (halo arrivals)
             pltpu.SemaphoreType.DMA(()),   # send
         ]
+        if affine:
+            scratch += [
+                pltpu.SemaphoreType.DMA(()),   # recv E column
+                pltpu.SemaphoreType.DMA(()),   # send E column
+            ]
         kwargs["compiler_params"] = pltpu.CompilerParams(
             has_side_effects=True, collective_id=7,
         )
@@ -1783,18 +1823,19 @@ def score_level_parts(q_dev, s_dev, parts_np, sc, interpret=False):
     return np.concatenate(ks), np.concatenate(scores)
 
 
-def _slotted_plan(B: int, Mb: int, Nb: int, ms):
+def _slotted_plan(B: int, Mb: int, Nb: int, ms, g_cap: int = 20):
     """Choose (G, NW, PPE, EPP) for the slotted kernel, or None if the
-    shape is ineligible (cross-epoch column-scratch constraint)."""
+    shape is ineligible (cross-epoch column-scratch constraint).
+    ``g_cap`` caps the concurrent chains (register budget; lowered only
+    by tests to exercise the EPP > 1 multi-epoch path at small Nb)."""
     NW = Nb // W
-    G_CAP = 20
-    if NW <= G_CAP:
-        PPE = max(1, min(G_CAP // NW, B))
+    if NW <= g_cap:
+        PPE = max(1, min(g_cap // NW, B))
         return PPE * NW, NW, PPE, 1
     # NW > G: one problem at a time over EPP epochs; chain 0's
     # next-epoch read must follow chain G-1's prior-epoch write.
     T_min = 128 * (-(-int(np.min(ms)) // 128)) + 2 * W
-    G = min(G_CAP, (T_min - W - 254) // STAGGER + 1)
+    G = min(g_cap, (T_min - W - 254) // STAGGER + 1)
     if G < 2:
         return None
     return G, NW, 1, -(-NW // G)
@@ -1829,7 +1870,8 @@ def _slotted_col_init(ms, Mb, mode, sc, sgaps):
 
 
 def score_pairs_batched(qarr, sarr, ms, ns, mode: Mode, sc,
-                        sgaps=None, interpret: bool = False):
+                        sgaps=None, interpret: bool = False,
+                        g_cap: int = 20):
     """Batch of independent closed-form GLOBAL/SEMIGLOBAL problems, ONE
     kernel dispatch total (grid over problems) -- the construction-level
     engine (one call per Hirschberg divide level; the reference runs the
@@ -1856,7 +1898,7 @@ def score_pairs_batched(qarr, sarr, ms, ns, mode: Mode, sc,
         raise ValueError(f"batched kernel mode supports m <= {M_MAX}")
 
     Nb_w = _bucket(n_max, W)
-    plan = _slotted_plan(B, Mb, Nb_w, ms)
+    plan = _slotted_plan(B, Mb, Nb_w, ms, g_cap=g_cap)
 
     # Chunk the batch: per-problem dims rows live in SMEM (each scalar
     # pads to ~128 B), and the slotted path keeps every problem's
@@ -1883,7 +1925,7 @@ def score_pairs_batched(qarr, sarr, ms, ns, mode: Mode, sc,
                 ms[lo:lo + CHUNK], ns[lo:lo + CHUNK], mode, sc,
                 sgaps=None if sgaps is None
                 else np.asarray(sgaps)[lo:lo + CHUNK],
-                interpret=interpret,
+                interpret=interpret, g_cap=g_cap,
             )
             for lo in range(0, B, CHUNK)
         ]
@@ -1893,7 +1935,7 @@ def score_pairs_batched(qarr, sarr, ms, ns, mode: Mode, sc,
         }
 
     if plan is not None:
-        G, NW, PPE, EPP = _slotted_plan(B, Mb, Nb_w, ms)
+        G, NW, PPE, EPP = plan
         Nb = Nb_w
     else:
         # Fallback: plain batched grid (problems sequential).
