@@ -17,6 +17,18 @@ if not _os.environ.get("ANYSEQ_TPU_NO_COMPILE_CACHE"):
         "JAX_COMPILATION_CACHE_DIR",
         _os.path.expanduser("~/.cache/anyseq_tpu/jax"),
     )
+    # The env var is read at jax config init; environments that
+    # pre-import jax (sitecustomize hooks) miss it -- set the live
+    # config too, and let CPU executables persist (the default caches
+    # only accelerator backends, but the interpret-mode Pallas test
+    # kernels are the slowest compiles in this project).
+    import jax as _jax
+
+    if _jax.config.jax_compilation_cache_dir is None:
+        _jax.config.update("jax_compilation_cache_dir",
+                           _os.environ["JAX_COMPILATION_CACHE_DIR"])
+    _jax.config.update("jax_persistent_cache_enable_xla_caches",
+                       "all")
 
 from anyseq_tpu.core.types import (
     Alignment,

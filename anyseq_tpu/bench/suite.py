@@ -123,14 +123,30 @@ def run(quick=False, out=sys.stdout):
                                              traceback="full")),
          len(q) * len(s))
 
-    # config 3: 100k bp semiglobal + Hirschberg
+    # config 3: 100k bp semiglobal + Hirschberg, with the per-phase
+    # ANYSEQ_TIMING breakdown captured into the committed artifact.
+    import os as _os
+
+    from anyseq_tpu.engine import hirschberg as _hb
+
     n3 = 5000 if quick else 100000
     q, s = _mkpair(rng, n3)
-    emit(f"semiglobal hirschberg {n3//1000}k",
-         _warm_time(lambda: anyseq_tpu.align(q, s, "semiglobal", sc,
-                                             traceback="hirschberg"),
-                    reps=1),
-         2 * len(q) * len(s))  # ~2x area for lintime sweeps
+    _os.environ["ANYSEQ_TIMING"] = "1"
+    anyseq_tpu.align(q, s, "semiglobal", sc, traceback="hirschberg")
+    _hb.TIMING_LOG.clear()
+    t0 = time.perf_counter()
+    anyseq_tpu.align(q, s, "semiglobal", sc, traceback="hirschberg")
+    dt3 = time.perf_counter() - t0
+    breakdown = list(_hb.TIMING_LOG)
+    _os.environ.pop("ANYSEQ_TIMING", None)
+    rec = {
+        "config": f"semiglobal hirschberg {n3//1000}k",
+        "ms": round(dt3 * 1000, 1),
+        "gcups": round(2 * len(q) * len(s) / dt3 / 1e9, 3),
+        "phase_breakdown": breakdown,
+    }
+    results.append(rec)
+    print(json.dumps(rec), file=out, flush=True)
 
     # config 3b: construction-level crossover probe -- one Hirschberg
     # divide level (P parts, half-width mid at the KERNEL_MIN_MID
@@ -322,5 +338,10 @@ def run(quick=False, out=sys.stdout):
 if __name__ == "__main__":
     p = argparse.ArgumentParser()
     p.add_argument("--quick", action="store_true")
+    p.add_argument("--json", metavar="FILE",
+                   help="also write the full results list as JSON")
     args = p.parse_args()
-    run(quick=args.quick)
+    res = run(quick=args.quick)
+    if args.json:
+        with open(args.json, "w") as f:
+            json.dump(res, f, indent=1)

@@ -40,8 +40,15 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from anyseq_tpu.core.types import SCORE_MIN, LinearScoring, Mode, Score
+from anyseq_tpu.core.types import (
+    SCORE_MIN,
+    AffineScoring,
+    LinearScoring,
+    Mode,
+    Score,
+)
 from anyseq_tpu.kernels import band
+from anyseq_tpu.kernels.band import NEG
 
 
 def _round_up(x, m):
@@ -49,24 +56,36 @@ def _round_up(x, m):
 
 
 def supports(mesh: Mesh, axis: str, sc, mode=None) -> bool:
-    """True when the collective engine can run this configuration."""
-    return (isinstance(sc, LinearScoring)
+    """True when the collective engine can run this configuration.
+    Linear AND affine (Gotoh) scoring (r4: the E-column halo rides a
+    second RDMA stream); 1-D mesh only."""
+    return (isinstance(sc, (LinearScoring, AffineScoring))
             and len(mesh.axis_names) == 1
             and mesh.axis_names[0] == axis)
 
 
-def score_pair_collective(query, subject, mode, sc: LinearScoring,
+def score_pair_collective(query, subject, mode, sc,
                           mesh: Mesh, axis: str = "sp",
                           interpret=False, G: int | None = None,
-                          band_rows: int | None = None):
+                          band_rows: int | None = None,
+                          start_gap: bool = False):
     """Distributed score-only alignment of one pair via the collective
     halo-exchange kernel. Same outputs contract as
-    dist.sharded.score_pair_sharded (bit-identical results)."""
+    dist.sharded.score_pair_sharded (bit-identical results). ``sc`` may
+    be LinearScoring or AffineScoring (Gotoh: the E-column halo streams
+    on a second in-kernel RDMA channel); ``start_gap`` is the affine
+    GLOBAL Myers-Miller continuing-run init (unreachable left column and
+    corner, top row without gap_open)."""
     from anyseq_tpu.core.types import as_u8
 
     mode = Mode.parse(mode)
-    if not isinstance(sc, LinearScoring):
-        raise NotImplementedError("collective path supports linear scoring")
+    affine = isinstance(sc, AffineScoring)
+    if not isinstance(sc, (LinearScoring, AffineScoring)):
+        raise NotImplementedError(
+            "collective path supports linear/affine scoring")
+    if start_gap and not (affine and mode is Mode.GLOBAL):
+        raise ValueError("start_gap is an affine GLOBAL (Myers-Miller) "
+                         "subproblem flag")
     if len(mesh.axis_names) != 1 or mesh.axis_names[0] != axis:
         raise ValueError(
             f"collective path needs a 1-D mesh over axis {axis!r}; "
@@ -79,6 +98,8 @@ def score_pair_collective(query, subject, mode, sc: LinearScoring,
     if m == 0 or n == 0:
         raise ValueError("empty sequences are not supported")
     K = mesh.shape[axis]
+    if affine:
+        go, ge = sc.gap_open, sc.gap_extend
 
     # Band geometry: one collective kernel launch per band; a single
     # band covers the whole height when it fits the VMEM column scratch.
@@ -99,7 +120,7 @@ def score_pair_collective(query, subject, mode, sc: LinearScoring,
     if G is None:
         G = band._pick_g(min(m, band_rows),
                          _round_up(max(n, 1), band.W * K) // K,
-                         emit_col=True)
+                         emit_col=True, affine=affine)
     Nl = _round_up(max(n, 1), band.W * G * K) // K
     N_pad = Nl * K
     MR = M_pad // band.LANES
@@ -111,23 +132,29 @@ def score_pair_collective(query, subject, mode, sc: LinearScoring,
                          band.PAD_S).reshape(-1)
     jarr = jnp.arange(N_pad, dtype=Score)
     iarr = jnp.arange(M_pad, dtype=Score)
-    if mode is Mode.GLOBAL:
+    if mode is Mode.GLOBAL and affine:
+        row0 = (jarr + 1) * ge + (0 if start_gap else go)
+    elif mode is Mode.GLOBAL:
         row0 = (jarr + 1) * sc.gap
     else:
         row0 = jnp.zeros_like(jarr)
+    rowf0 = jnp.full((N_pad,), NEG, Score) if affine else None
 
     shard = NamedSharding(mesh, P(axis))
     s_sh = jax.device_put(s, shard)
     row0_sh = jax.device_put(row0, shard)
+    rowf0_sh = jax.device_put(rowf0, shard) if affine else None
     nw = Nl // band.W
 
-    def run(q_full, s_loc, row_loc):
+    def run(q_full, s_loc, row_loc, rowf_loc=None):
         k = jax.lax.axis_index(axis)
         j0 = k * Nl
         right = [(i, (i + 1) % K) for i in range(K)]
 
         row = row_loc
+        rowf = rowf_loc
         ecols = []
+        ecols_e = []
         best_all = jnp.array([SCORE_MIN, -1, -1], Score)
         corner_msg = jnp.int32(0)  # ppermuted band corner (b > 0)
         for b in range(num_bands):
@@ -139,16 +166,35 @@ def score_pair_collective(query, subject, mode, sc: LinearScoring,
             # Band corner H[i0-1][j0-1]: closed form for band 0 and for
             # chip 0 (its j0-1 = -1 boundary); otherwise the ppermuted
             # bottom-row edge of the left neighbor's previous band.
-            if mode is Mode.GLOBAL:
+            if mode is Mode.GLOBAL and affine:
+                if start_gap:
+                    # Myers-Miller continuing-run init: unreachable
+                    # left column and corner.
+                    corner0 = (jnp.int32(NEG) if b == 0 else
+                               jnp.where(k == 0, jnp.int32(NEG),
+                                         corner_msg))
+                    col0 = jnp.full((M_pad,), NEG, Score)
+                else:
+                    cf_corner = (
+                        jnp.where(j0 == 0, 0, go + j0 * ge).astype(Score)
+                        if b == 0 else jnp.int32(go + i0 * ge))
+                    corner0 = (cf_corner if b == 0 else
+                               jnp.where(k == 0, cf_corner, corner_msg))
+                    col0 = (go + (i0 + iarr + 1) * ge).astype(Score)
+                cole0 = jnp.full((M_pad,), NEG, Score)
+            elif mode is Mode.GLOBAL:
                 cf_corner = (jnp.int32(j0 * sc.gap) if b == 0
                              else jnp.int32(i0 * sc.gap))
                 corner0 = (cf_corner if b == 0 else
                            jnp.where(k == 0, cf_corner, corner_msg))
                 col0 = ((i0 + iarr + 1) * sc.gap).astype(Score)
+                cole0 = None
             else:
                 corner0 = (jnp.int32(0) if b == 0 else
                            jnp.where(k == 0, jnp.int32(0), corner_msg))
                 col0 = jnp.zeros((M_pad,), Score)
+                cole0 = (jnp.full((M_pad,), NEG, Score)
+                         if affine else None)
             corners = band._band_corners(row, corner0, nw)
             n_loc = jnp.clip(n - j0, 0, Nl)
 
@@ -160,8 +206,13 @@ def score_pair_collective(query, subject, mode, sc: LinearScoring,
                 corners, jnp.int32(h), n_loc, mode, sc,
                 emit_col=True, interpret=interpret, G=G,
                 collective_axis=axis,
+                rowf2=(rowf.reshape(-1, band.LANES) if affine else None),
+                cole2=(cole0.reshape(-1, band.LANES) if affine else None),
             )
             row = outs["last_row"][:Nl]
+            if affine:
+                rowf = outs["last_row_f"][:Nl]
+                ecols_e.append(outs["last_col_e"][:h])
             ecols.append(outs["last_col"][:h])
             if mode is Mode.LOCAL:
                 bb = outs["best"]
@@ -187,23 +238,40 @@ def score_pair_collective(query, subject, mode, sc: LinearScoring,
                 # Next band's corner: left neighbor's bottom-row edge.
                 corner_msg = jax.lax.ppermute(row[Nl - 1], axis, right)
 
-        ecol = jnp.concatenate(ecols) if num_bands > 1 else ecols[0]
-        ecol = jnp.pad(ecol, (0, M_total - ecol.shape[0]))
         owns = jnp.logical_and(j0 <= n - 1, n - 1 < j0 + Nl)
-        ecol = jnp.where(owns, ecol, 0)
-        ecol_all = jax.lax.psum(ecol, axis)
+
+        def _gather_col(parts):
+            col = jnp.concatenate(parts) if num_bands > 1 else parts[0]
+            col = jnp.pad(col, (0, M_total - col.shape[0]))
+            return jax.lax.psum(jnp.where(owns, col, 0), axis)
+
+        ecol_all = _gather_col(ecols)
+        ecole_all = _gather_col(ecols_e) if affine else None
 
         best = best_all
         if mode is Mode.LOCAL:
             from anyseq_tpu.dist.mesh import lex_best_merge
 
             best = lex_best_merge(best, axis, K)
+        if affine:
+            return row, rowf, ecol_all, ecole_all, best
         return row, ecol_all, best
 
     # jit the whole shard_map: eager shard_map dispatches each inner
     # primitive separately, and under the TPU interpreter the store
     # callbacks of one device can then block on async values of another
     # (observed deadlock for LOCAL's post-kernel all_gather/merge).
+    if affine:
+        row_out, rowf_out, ecol, ecole, best = jax.jit(jax.shard_map(
+            run,
+            mesh=mesh,
+            in_specs=(P(), P(axis), P(axis), P(axis)),
+            out_specs=(P(axis), P(axis), P(), P(), P()),
+            check_vma=False,
+        ))(q, s_sh, row0_sh, rowf0_sh)
+        return {"last_row": row_out, "last_col": ecol, "best": best,
+                "last_col_e": ecole, "last_row_f": rowf_out}
+
     row_out, ecol, best = jax.jit(jax.shard_map(
         run,
         mesh=mesh,

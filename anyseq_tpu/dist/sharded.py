@@ -424,19 +424,19 @@ def score_pair_sharded(query, subject, mode, sc, mesh: Mesh,
         from anyseq_tpu.dist import collective as _coll
         from anyseq_tpu.kernels import band as _band
 
-        if (not start_gap) and _coll.supports(mesh, axis, sc) and (
+        if _coll.supports(mesh, axis, sc) and (
             engine in ("collective", "collective-interpret")
             or _band.available()
         ):
             return _coll.score_pair_collective(
                 q8, s8, mode, sc, mesh, axis=axis,
                 interpret="tpu" if engine == "collective-interpret"
-                else False,
+                else False, start_gap=start_gap,
             )
         if engine != "auto":
             raise ValueError(
-                "collective engine requires linear scoring and a 1-D "
-                f"mesh over axis {axis!r}"
+                "collective engine requires a 1-D mesh over axis "
+                f"{axis!r}"
             )
     if engine == "auto":
         from anyseq_tpu.kernels import band as _band

@@ -50,11 +50,17 @@ from anyseq_tpu.ref import oracle
 # wider stripe since the engines vectorize over 128-lane windows anyway).
 MIN_WIDTH = 256
 
-# Env ANYSEQ_TIMING=1: print per-phase construction timings (stderr).
+# Env ANYSEQ_TIMING=1: print per-phase construction timings (stderr)
+# and append them to TIMING_LOG (consumed by bench/suite.py for the
+# committed per-phase breakdown artifact).
+TIMING_LOG: list[str] = []
+
+
 def _tlog(msg):
     if os.environ.get("ANYSEQ_TIMING") == "1":
         import sys
 
+        TIMING_LOG.append(msg)
         print(f"[hb] {msg}", file=sys.stderr, flush=True)
 
 

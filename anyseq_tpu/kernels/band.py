@@ -121,7 +121,11 @@ STAGGER = W + LANES
 # Unroll factor of the step loop (16 or 32). Chunk events land at fixed
 # unroll phases: reloads at k=0 (t % 128 == 0), column flushes at
 # k % 16 == 14 (t % 128 == 126), pred-word completion at k % 16 == 15.
-U = 16
+# ANYSEQ_U=32 halves the per-block bookkeeping (rebirth selects, clock
+# updates) at the cost of ~2x Mosaic compile time; measured on-chip
+# before any default change. Must be a multiple of 16.
+U = int(_os.environ.get("ANYSEQ_U", "16"))
+assert U % 16 == 0 and U > 0, "ANYSEQ_U must be a positive multiple of 16"
 
 # VMEM cap for the column scratch (+ q + ecol staging): 512k rows of
 # int32 = 2 MiB per buffer.
