@@ -108,6 +108,14 @@ R = int(_os.environ.get("ANYSEQ_R", "8"))
 LANES = 128
 W = R * LANES
 
+# Base geometry for paths that do not pick their own window height.
+# The closed-form single-pair path (score_pair) chooses R per shape
+# (_pick_geometry): tall windows stream R/8 vregs per op through the
+# VPU pipeline, which lifts issue throughput well past the 1-op/cycle
+# model (measured 100k local SW on v5e: R=8 ~78, R=16 ~118, R=32 ~139,
+# R=64 ~143 GCUPS) while per-chain feed/bookkeeping ops amortize.
+R_DEFAULT = R
+
 # Concurrent staggered windows per kernel instance (dependency chains in
 # flight). Measured sweet spot on TPU v5e; must keep register pressure
 # below spill threshold.
@@ -126,6 +134,7 @@ STAGGER = W + LANES
 # before any default change. Must be a multiple of 16.
 U = int(_os.environ.get("ANYSEQ_U", "16"))
 assert U % 16 == 0 and U > 0, "ANYSEQ_U must be a positive multiple of 16"
+U_DEFAULT = U
 
 # VMEM cap for the column scratch (+ q + ecol staging): 512k rows of
 # int32 = 2 MiB per buffer.
@@ -156,7 +165,8 @@ def _make_kernel(mode: Mode, sc, emit_col: bool, G: int,
                  boundary: bool = False, start_gap: bool = False,
                  collective_axis: str | None = None,
                  batched: bool = False, persistent: int = 0,
-                 need_pos: bool = True, slotted: dict | None = None):
+                 need_pos: bool = True, slotted: dict | None = None,
+                 rw: int | None = None, uu: int | None = None):
     """Build the wavefront kernel body.
 
     ``boundary=False``: closed-form DP boundary (the top row / left column
@@ -204,7 +214,20 @@ def _make_kernel(mode: Mode, sc, emit_col: bool, G: int,
     local = mode is Mode.LOCAL
     is_global = mode is Mode.GLOBAL
     affine = isinstance(sc, AffineScoring)
-    S = STAGGER
+    # Per-call window geometry: shadow the module constants so every
+    # closure below binds the chosen height (see R_DEFAULT note).
+    R = rw or R_DEFAULT
+    W = R * LANES
+    S = W + LANES
+    U = uu or U_DEFAULT
+    assert U % 16 == 0 and S % U == 0, (U, S)
+
+    def _rot_l(x, lane_last):
+        # local shadow of the module helper: the sublane roll count is
+        # geometry-dependent
+        a = pltpu.roll(x, LANES - 1, 1)
+        b = pltpu.roll(a, R - 1, 0)
+        return jnp.where(lane_last, b, a)
     # Packed pred geometry: 2-bit codes (16 per int32 word) for linear
     # scoring; 4-bit codes (PH 2 bits + PE/PF extend bits, 8 per word,
     # xla_affine.score_rows_affine_with_preds layout) for affine.
@@ -1230,7 +1253,7 @@ def _make_kernel(mode: Mode, sc, emit_col: bool, G: int,
     return kernel
 
 
-def _unrotate_ecol(stage, m_pad_rows, m, n):
+def _unrotate_ecol(stage, m_pad_rows, m, n, w: int | None = None):
     """Recover the true last column cell(i, n-1), i in [0, m_pad), from
     the raw rotated ecol flush chunks.
 
@@ -1238,8 +1261,10 @@ def _unrotate_ecol(stage, m_pad_rows, m, n):
     snapshot at edge-window local step t_f = (c+1)*W - 2. A value with
     row index i was inserted at step te = i + edge (edge = position of
     column n-1 in its window) and sits at flat position
-    (edge - (t_f - te)) mod W.
+    (edge - (t_f - te)) mod W. ``w`` = the call's window width (module
+    default when unset).
     """
+    W = w or (R_DEFAULT * LANES)
     edge = jax.lax.rem(n - 1, W)
     i = jnp.arange(m_pad_rows * LANES, dtype=jnp.int32)
     te = i + edge
@@ -1284,13 +1309,16 @@ def _bucket(x: int, mult: int) -> int:
     jax.jit,
     static_argnames=("mode", "sc", "emit_col", "interpret", "G",
                      "emit_preds", "start_gap", "persistent",
-                     "need_pos"),
+                     "need_pos", "rw", "uu"),
 )
 def _score_padded(q2, s2, m, n, mode: Mode, sc: LinearScoring,
                   emit_col: bool = True, interpret: bool = False,
                   G: int = DEFAULT_G, emit_preds: bool = False,
                   start_gap: bool = False, persistent: bool = False,
-                  need_pos: bool = True):
+                  need_pos: bool = True, rw: int | None = None,
+                  uu: int | None = None):
+    R = rw or R_DEFAULT
+    W = R * LANES
     M_pad = q2.shape[0] * LANES
     N_pad = s2.shape[0] * LANES
     num_groups = N_pad // (G * W)
@@ -1307,7 +1335,7 @@ def _score_padded(q2, s2, m, n, mode: Mode, sc: LinearScoring,
     kernel = _make_kernel(mode, sc, emit_col, G, emit_preds, p_pl,
                           start_gap=start_gap,
                           persistent=num_groups if persistent else 0,
-                          need_pos=need_pos)
+                          need_pos=need_pos, rw=R, uu=uu)
     dims = jnp.stack([m, n]).astype(jnp.int32)
 
     out_shape = [
@@ -1362,7 +1390,7 @@ def _score_padded(q2, s2, m, n, mode: Mode, sc: LinearScoring,
     best = outs.pop(0)
 
     if emit_col:
-        last_col = _unrotate_ecol(ecol_stage, MR, m, n)
+        last_col = _unrotate_ecol(ecol_stage, MR, m, n, w=W)
     else:
         last_col = jnp.zeros((MR * LANES,), Score)
 
@@ -1372,7 +1400,7 @@ def _score_padded(q2, s2, m, n, mode: Mode, sc: LinearScoring,
         "best": best[:3],
     }
     if affine and emit_col:
-        res["last_col_e"] = _unrotate_ecol(ecole_stage, MR, m, n)
+        res["last_col_e"] = _unrotate_ecol(ecole_stage, MR, m, n, w=W)
     if emit_preds:
         res["packed_preds"] = outs.pop(0)
         res["p_pl"] = p_pl
@@ -2155,11 +2183,64 @@ def unpack_preds_host(packed, p_pl: int, m: int, n: int,
     return ((flat[idx] >> (pbits * (t % spw))) & mask).astype(np.uint8)
 
 
+def _pick_geometry(m: int, n: int, emit_col: bool, affine: bool):
+    """Choose (G, R) for the closed-form single-pair sweep.
+
+    Tall windows stream R/8 vregs per elementwise op through the VPU
+    pipeline; measured on v5e (100k local SW, padded-throughput = GCUPS
+    x N_pad/n): R=8/G=20 ~78, R=16/G=10 ~121, R=32/G=5 ~143,
+    R=64/G=3 ~176-185 (U=32). The best config trades that throughput
+    against window padding (N_pad rounds up to G*W) and pipeline fill
+    ((G-1)*(W+128) steps per call in persistent mode), so small
+    problems prefer small windows. Affine carries ~4 extra streams per
+    chain (E/F state): stay one notch narrower.
+    """
+    # (R, G, U, padded-throughput in Gcells/s) measured on v5e at the
+    # 100k shape (tools/perf_sweep.py, see BENCH_SUITE notes); e folds
+    # each path's per-mode overheads (emit_col = the last-column
+    # rotating collector + the longer sweep). U=32 only where the ~2x
+    # Mosaic compile time bought a measured win.
+    if affine:
+        cands = [(8, None, 16, 40.0), (16, 5, 16, 62.0),
+                 (32, 5, 32, 124.0)]
+    elif emit_col:
+        cands = [(8, None, 16, 60.0), (16, 10, 16, 82.0),
+                 (32, 5, 32, 104.0), (64, 2, 32, 111.0)]
+    else:
+        cands = [(8, None, 16, 80.0), (16, 10, 16, 121.0),
+                 (32, 5, 16, 143.0), (64, 3, 32, 185.0)]
+    best = None
+    nrm = -(-m // 128)
+    for rw, g, uu, e in cands:
+        w = rw * LANES
+        if g is None:
+            g = _pick_g(m, n, emit_col, affine)
+        nw = _bucket(n, w) // w
+        if g > nw:
+            g = nw
+        n_pad = _round_up(_bucket(n, w), g * w)
+        T = 128 * nrm + w + (w if emit_col else 0)
+        s_ = w + LANES
+        # per-step wall time at this geometry ~ g*w/e (cells per
+        # full-width step over padded throughput); sweep = T steps per
+        # window group; fill = (g-1)*s_ idle-ish steps, paid once in
+        # persistent mode, per group otherwise.
+        pers_ok = (n_pad // (g * w) > 1
+                   and (g - 1) * s_ + w + 254 <= T)
+        groups = n_pad // (g * w)
+        fill_groups = 1 if pers_ok else groups
+        cost = (groups * T + fill_groups * (g - 1) * s_) * (g * w) / e
+        if best is None or cost < best[0]:
+            best = (cost, g, rw, uu)
+    return best[1], best[2], best[3]
+
+
 def score_pair(qp, sp, m, n, mode: Mode, sc,
                H: int | None = None, interpret: bool = False,
                emit_col: bool | None = None, G: int | None = None,
                emit_preds: bool = False, start_gap: bool = False,
-               need_pos: bool = True, persistent: bool | None = None):
+               need_pos: bool = True, persistent: bool | None = None,
+               R: int | None = None, U: int | None = None):
     """Score-only linear-memory DP via the Pallas wavefront kernel.
 
     ``sc`` may be LinearScoring or AffineScoring (real 3-matrix Gotoh,
@@ -2189,6 +2270,16 @@ def score_pair(qp, sp, m, n, mode: Mode, sc,
                                   start_gap=start_gap)
     if emit_col is None:
         emit_col = mode is not Mode.LOCAL
+    if G is None and R is None and not emit_preds and not interpret:
+        # Joint (G, R, U) geometry choice for the closed-form sweep
+        # (pred emission keeps the validated R=8 DMA staging layout;
+        # interpret runs keep R=8 so CPU tests exercise the default
+        # geometry).
+        G, R, U = _pick_geometry(m_i, n_i, emit_col,
+                                 isinstance(sc, AffineScoring))
+    R = R or R_DEFAULT
+    W = R * LANES
+    STAGGER = W + LANES
     if G is None:
         G = _pick_g(m_i, n_i, emit_col, isinstance(sc, AffineScoring))
     M_pad = _bucket(m_i, W)
@@ -2221,4 +2312,5 @@ def score_pair(qp, sp, m, n, mode: Mode, sc,
     return _score_padded(q2, s2, jnp.int32(m_i), jnp.int32(n_i),
                          mode, sc, emit_col, interpret, G,
                          persistent=persistent, need_pos=need_pos,
-                         emit_preds=emit_preds, start_gap=start_gap)
+                         emit_preds=emit_preds, start_gap=start_gap,
+                         rw=R, uu=U)

@@ -13,23 +13,21 @@ speed-of-light: the kernel's inner loop is ~19 dependent+parallel vector
 lane-ops per cell, and the v5e VPU issues ~3.9e12 int32 lane-ops/s, so
 SOL ~= 200 Gcells/s; mfu = GCUPS / 200.
 
-Round-3 SOL analysis (emitted as ``sol_analysis``): two structural
-changes on top of the round-2 op slimming. (1) PERSISTENT CHAINS: grid
-mode idled every chain (G-1)*STAGGER steps per window group (~18% of
-wall at this shape); the persistent kernel reborn chains continuously,
-paying the fill once per call. (2) SCORE-ONLY TRACKING: the headline
-is a score call (the reference's score() returns the score alone,
-align.impala:218-235), so the local path drops the improvement-select
-pair, leaving ~18 vector ops per 1024-cell step, 5 cross-lane rolls --
-4 of them (the qd and d1s position shifts) algorithmically irreducible
-for a positional wavefront (diagonal and query symbols must both move
-one position per step). Measured ~79-83 GCUPS (run-to-run tunnel
-variance ~5%): ~21 cycles per window-step at 1.7 GHz = ~1.15
-cycles/vector-op -- VPU ISSUE-bound (G plateau at 20, register spill
-at 22+), not latency-bound. Ceiling at 1 op/cycle with 18 ops would be
-~97 Gcells/s steady-state; the residual is issue-slot overhead (chunk
-reloads, rebirth selects, flush branches). G sweep (100k local SW,
-persistent): G=16 72.3, G=20 79-83, G=22 72.0 GCUPS.
+Round-4 geometry finding (emitted as ``sol_analysis``): round 3's
+"issue-bound ~97 Gcells/s ceiling at 18 ops/step" modeled ops as
+1-vreg (8,128) instructions. Lifting the window height R per call
+(kernels/band._pick_geometry) makes every elementwise op an
+R/8-vreg-deep STREAM: the VPU pipelines the deep ops at ~2.5
+vreg-ops/cycle (vs ~1.1 effective at R=8, where short dependent ops
+leave bubbles), and all per-chain (1,128) feed/bookkeeping ops
+amortize over 16x more cells. Measured 100k local SW (v5e, U=32
+unroll): R=8/G=20 ~78, R=16/G=10 ~118, R=32/G=5 ~139, R=64/G=3
+~150-161 GCUPS -- ~2x round 3, with the optimum at G*R ~ 160-192
+in-flight sublanes and a fall-off past R=128 (window padding and
+stagger fill grow with W). The full (R, U, G) sweep is
+tools/perf_sweep.py; the shape-aware choice trades streamed
+throughput against G*W window padding and (G-1)*(W+128) pipeline
+fill.
 
 Timing is slope-based: K back-to-back dispatches with a single host
 fetch at the end, minus the 1-dispatch time, divided by K-1. This
@@ -126,13 +124,15 @@ def main():
         "mfu_vs_vpu_sol": round(gcups / VPU_SOL_GCUPS, 3),
         "sol_analysis": {
             "ops_per_step": 18,
-            "rolls_per_step": 5,
-            "irreducible_rolls": 4,
+            "geometry": "per-shape (G, R, U) pick, R=64/G=3/U=32 at "
+                        "this shape (band._pick_geometry)",
             "persistent_chains": True,
             "score_only_tracking": True,
-            "t_step_ns": round(1024 / gcups, 1) if gcups else None,
-            "bound": "VPU issue (G plateau at 20, spill at 22+); "
-                     "1 op/cycle ceiling ~97 Gcells/s at 18 ops/step",
+            "bound": "VPU issue at ~2.5 vreg-ops/cycle on R/8-deep "
+                     "streamed ops; r3's 97 Gcells/s 1-op/cycle model "
+                     "assumed 1-vreg ops -- tall windows beat it 1.7x "
+                     "(G*R ~ 160-192 sublanes in flight optimal; see "
+                     "tools/perf_sweep.py sweep in BENCH_SUITE_r04)",
         },
     }))
 

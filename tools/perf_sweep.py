@@ -27,7 +27,13 @@ def main():
 
     gs = [int(x) for x in sys.argv[1:]] or [None]
     n = int(os.environ.get("ANYSEQ_SWEEP_N", "100000"))
-    sc = LinearScoring(2, -1, -1)
+    mode = Mode.parse(os.environ.get("ANYSEQ_SWEEP_MODE", "local"))
+    if os.environ.get("ANYSEQ_SWEEP_AFFINE"):
+        from anyseq_tpu.core.types import AffineScoring
+
+        sc = AffineScoring(2, -1, -3, -1)
+    else:
+        sc = LinearScoring(2, -1, -1)
     rng = np.random.default_rng(0)
     alpha = np.frombuffer(b"ACGT", np.uint8)
     q = bytes(alpha[rng.integers(0, 4, n)])
@@ -36,7 +42,7 @@ def main():
 
     for G in gs:
         def f(G=G):
-            return band.score_pair(qp, sp, m, nn, Mode.LOCAL, sc,
+            return band.score_pair(qp, sp, m, nn, mode, sc,
                                    need_pos=False, G=G)["best"]
 
         t0 = time.perf_counter()
@@ -57,6 +63,8 @@ def main():
         dt = max((tk - t1) / (k - 1), 1e-9)
         print(json.dumps({
             "R": band.R, "U": band.U, "G": G,
+            "mode": mode.name, "affine": not isinstance(sc,
+                                                        LinearScoring),
             "n": n,
             "compile_s": round(t_compile, 1),
             "gcups": round(m * nn / dt / 1e9, 2),
