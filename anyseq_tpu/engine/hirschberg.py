@@ -405,6 +405,40 @@ def _hb_global(q8, s8, off_i, off_j, out_q, out_s, scoring, engine,
             # on device -- only the (P,) split rows and scores come
             # back (the per-level problem-array upload + column fetch
             # otherwise dominates deep levels on a tunneled TPU).
+            # Deep levels fuse TWO levels per dispatch (children are
+            # built on device from the split rows), halving the ~65 ms
+            # round-trip floor that dominates them.
+            fused = None
+            if P >= 4:
+                fused = band.score_levels_fused(
+                    qdev, sdev, np.asarray(parts, np.int64), scoring,
+                    depth=2,
+                )
+            if fused is not None:
+                (ks0, sc0), (ks1, _) = fused
+                kids = []
+                for p, (qlo, qhi, slo, shi) in enumerate(parts):
+                    mid = mids[p]
+                    if root_score is None:
+                        root_score = int(sc0[p])
+                    k = int(ks0[p])
+                    kids.append((qlo, qlo + k + 1, slo, slo + mid))
+                    kids.append((qlo + k + 1, qhi, slo + mid, shi))
+                for j, kid in enumerate(kids):
+                    qlo, qhi, slo, shi = kid
+                    h, wk = qhi - qlo, shi - slo
+                    if h == 0 or wk <= min_width or wk < 2 or h <= 1:
+                        classify(kid)
+                    else:
+                        k = int(ks1[j])
+                        mid2 = wk // 2
+                        classify((qlo, qlo + k + 1, slo, slo + mid2))
+                        classify((qlo + k + 1, qhi, slo + mid2, shi))
+                _tlog(f"level P={P}+{2*P} maxh={max(hs)} "
+                      f"maxmid={max(mids)} path=device-level-fused "
+                      f"{(time.perf_counter()-_lt0)*1e3:.0f}ms")
+                _save_level()
+                continue
             lvl = band.score_level_parts(
                 qdev, sdev, np.asarray(parts, np.int64), scoring
             )
@@ -916,7 +950,7 @@ def _find_end(q8, s8, mode, scoring, engine, mesh=None):
 
 
 def align_hirschberg(query, subject, mode, scoring=LinearScoring(),
-                     engine="auto", min_width=MIN_WIDTH, mesh=None,
+                     engine="auto", min_width=None, mesh=None,
                      sp_min_width=None, checkpoint_path=None) -> Alignment:
     """Linear-memory alignment construction: Hirschberg for linear gap
     scoring, Myers-Miller for affine (Gotoh). With ``mesh`` the linear
@@ -939,6 +973,17 @@ def align_hirschberg(query, subject, mode, scoring=LinearScoring(),
     m, n = len(q8), len(s8)
     if m == 0 or n == 0:
         raise ValueError("empty sequences are not supported")
+    if min_width is None:
+        # Each divide level costs a fixed dispatch + fetch round trip
+        # (~65 ms on a tunneled TPU) regardless of its compute, so on
+        # the kernel path it pays to stop dividing ~2 levels earlier
+        # and hand wider stripes to the batched terminal pred sweep
+        # (memory stays O(B * h * 1024) packed 2-bit). CPU/XLA keeps
+        # the narrower stripes (no dispatch economics, smaller preds).
+        from anyseq_tpu.kernels import band as _bandmod
+
+        min_width = 1024 if (engine in ("auto", "pallas")
+                             and _bandmod.available()) else MIN_WIDTH
 
     def hb_rect(qr8, sr8, oi, oj):
         rc = None

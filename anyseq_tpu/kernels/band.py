@@ -1410,13 +1410,14 @@ def _score_padded(q2, s2, m, n, mode: Mode, sc: LinearScoring,
 @functools.partial(
     jax.jit,
     static_argnames=("mode", "sc", "emit_col", "interpret", "G",
-                     "emit_preds", "collective_axis"),
+                     "emit_preds", "collective_axis", "rw", "uu"),
 )
 def _score_band_padded(q2, s2, row2, col2, corners, m, n, mode: Mode, sc,
                        emit_col: bool = True, interpret=False,
                        G: int = DEFAULT_G, emit_preds: bool = False,
                        rowf2=None, cole2=None,
-                       collective_axis: str | None = None):
+                       collective_axis: str | None = None,
+                       rw: int | None = None, uu: int | None = None):
     """Boundary-mode kernel call: relax a band of ``m`` query rows whose
     top row / left column state is given explicitly.
 
@@ -1431,6 +1432,8 @@ def _score_band_padded(q2, s2, row2, col2, corners, m, n, mode: Mode, sc,
     band-local.
     """
     affine = isinstance(sc, AffineScoring)
+    R = rw or R_DEFAULT
+    W = R * LANES
     M_pad = q2.shape[0] * LANES
     N_pad = s2.shape[0] * LANES
     num_groups = N_pad // (G * W)
@@ -1441,7 +1444,8 @@ def _score_band_padded(q2, s2, row2, col2, corners, m, n, mode: Mode, sc,
     p_pl = (M_pad + 2 * W) // spw
 
     kernel = _make_kernel(mode, sc, emit_col, G, emit_preds, p_pl,
-                          boundary=True, collective_axis=collective_axis)
+                          boundary=True, collective_axis=collective_axis,
+                          rw=R, uu=uu)
     dims = jnp.stack([m, n]).astype(jnp.int32)
 
     blocked = lambda: pl.BlockSpec((G * R, LANES), lambda gr: (gr, 0),
@@ -1538,7 +1542,7 @@ def _score_band_padded(q2, s2, row2, col2, corners, m, n, mode: Mode, sc,
     col_out = outs.pop(0)
 
     if emit_col:
-        last_col = _unrotate_ecol(ecol_stage, MR, m, n)
+        last_col = _unrotate_ecol(ecol_stage, MR, m, n, w=W)
     else:
         last_col = jnp.zeros((MR * LANES,), Score)
 
@@ -1549,7 +1553,7 @@ def _score_band_padded(q2, s2, row2, col2, corners, m, n, mode: Mode, sc,
         "col_out": col_out.reshape(-1),
     }
     if affine and emit_col:
-        res["last_col_e"] = _unrotate_ecol(ecole_stage, MR, m, n)
+        res["last_col_e"] = _unrotate_ecol(ecole_stage, MR, m, n, w=W)
     if affine:
         res["col_out_e"] = outs.pop(0).reshape(-1)
         res["last_row_f"] = outs.pop(0).reshape(-1)
@@ -1624,7 +1628,7 @@ def _score_batched_padded(q3, s3, dims, mode: Mode, sc, G: int, GP: int,
     ecol_stage = outs.pop(0).reshape(B, stage_rows, LANES)
     ns = dims[:, 1]
     unrot = jax.vmap(
-        lambda st, n_: _unrotate_ecol(st, MRb, jnp.int32(0), n_)
+        lambda st, n_: _unrotate_ecol(st, MRb, jnp.int32(0), n_, w=W)
     )
     res = {
         "last_rows": row_out.reshape(B, GP * G * R * LANES),
@@ -1638,11 +1642,11 @@ def _score_batched_padded(q3, s3, dims, mode: Mode, sc, G: int, GP: int,
 
 @functools.partial(
     jax.jit, static_argnames=("mode", "sc", "G", "NW", "PPE", "EPP",
-                              "interpret")
+                              "interpret", "rw")
 )
 def _score_slotted_padded(q3, s3, dims, col_init, cole_init, mode: Mode,
                           sc, G: int, NW: int, PPE: int, EPP: int,
-                          interpret=False):
+                          interpret=False, rw: int | None = None):
     """Many independent problems in ONE launch with chains assigned to
     (problem, window) SLOTS -- the deep-Hirschberg-level engine.
 
@@ -1662,6 +1666,8 @@ def _score_slotted_padded(q3, s3, dims, col_init, cole_init, mode: Mode,
     only; pass q3[:0] sized dummy otherwise).
     """
     affine = isinstance(sc, AffineScoring)
+    R = rw or R_DEFAULT
+    W = R * LANES
     B = dims.shape[0]
     MRb = q3.shape[0] // B
     M_pad = MRb * LANES
@@ -1671,6 +1677,7 @@ def _score_slotted_padded(q3, s3, dims, col_init, cole_init, mode: Mode,
         mode, sc, emit_col=True, G=G,
         slotted=dict(B=B, NW=NW, MRb=MRb, SRp=stage_rows,
                      PPE=PPE, EPP=EPP),
+        rw=R,
     )
 
     out_shape = [
@@ -1715,7 +1722,7 @@ def _score_slotted_padded(q3, s3, dims, col_init, cole_init, mode: Mode,
     ecol_stage = outs.pop(0).reshape(B, stage_rows, LANES)
     ns = dims[:, 1]
     unrot = jax.vmap(
-        lambda st, n_: _unrotate_ecol(st, MRb, jnp.int32(0), n_)
+        lambda st, n_: _unrotate_ecol(st, MRb, jnp.int32(0), n_, w=W)
     )
     res = {
         "last_rows": row_out.reshape(B, NW * R * LANES),
@@ -1729,10 +1736,10 @@ def _score_slotted_padded(q3, s3, dims, col_init, cole_init, mode: Mode,
 
 @functools.partial(
     jax.jit, static_argnames=("sc", "G", "NW", "PPE", "EPP", "Mb", "Nb",
-                              "interpret")
+                              "interpret", "rw")
 )
 def _score_level_padded(q_dev, s_dev, parts, sc, G, NW, PPE, EPP, Mb,
-                        Nb, interpret=False):
+                        Nb, interpret=False, rw: int | None = None):
     """One whole Hirschberg divide level ON DEVICE: build the 2P
     half-problems by gather from the resident sequences, run the
     slotted wavefront kernel, and do the hb_sum argmax merge
@@ -1792,7 +1799,7 @@ def _score_level_padded(q_dev, s_dev, parts, sc, G, NW, PPE, EPP, Mb,
     res = _score_slotted_padded(
         q3.reshape(-1, LANES), s3.reshape(-1, LANES), dims,
         ci.reshape(-1, LANES), None, Mode.GLOBAL, sc,
-        G, NW, PPE, EPP, interpret=interpret,
+        G, NW, PPE, EPP, interpret=interpret, rw=rw,
     )
     cols = res["last_cols"]                     # (B, Mb)
     L, Rv = cols[0::2], cols[1::2]              # (P, Mb)
@@ -1815,36 +1822,153 @@ def _score_level_padded(q_dev, s_dev, parts, sc, G, NW, PPE, EPP, Mb,
     return k, score
 
 
-def score_level_parts(q_dev, s_dev, parts_np, sc, interpret=False):
+@functools.partial(
+    jax.jit, static_argnames=("sc", "plans", "Mb", "Nb", "interpret",
+                              "rw", "depth")
+)
+def _score_levels_fused(q_dev, s_dev, parts, sc, plans, Mb, Nb, depth,
+                        interpret=False, rw=None):
+    """``depth`` consecutive divide levels in ONE dispatch: sweep the
+    level, build the children parts ON DEVICE from the split rows, and
+    sweep again -- sub-level d returns (2^d * P,) arrays in child order
+    [part0.left, part0.right, part1.left, ...]. The host classifies
+    exactly as if the levels ran separately (the child construction is
+    the same deterministic cut = qlo + k + 1 / mid = w // 2); garbage
+    rows from children the host deems terminal/degenerate are swept
+    harmlessly and ignored. Saves one dispatch + fetch round trip
+    (~65 ms on a tunneled TPU) per extra level."""
+    ks_out, sc_out = [], []
+    cur = parts
+    for d in range(depth):
+        G, NW, PPE, EPP = plans[d]
+        k, s = _score_level_padded(q_dev, s_dev, cur, sc, G, NW, PPE,
+                                   EPP, Mb, Nb, interpret=interpret,
+                                   rw=rw)
+        ks_out.append(k)
+        sc_out.append(s)
+        if d + 1 < depth:
+            qlo, qhi = cur[:, 0], cur[:, 1]
+            slo, shi = cur[:, 2], cur[:, 3]
+            h = qhi - qlo
+            # clamp: garbage splits of degenerate rows must still yield
+            # in-range (possibly empty) children
+            kk = jnp.clip(k, -1, jnp.maximum(h - 1, -1))
+            cut = jnp.clip(qlo + kk + 1, qlo, qhi)
+            smid = slo + (shi - slo) // 2
+            c1 = jnp.stack([qlo, cut, slo, smid], 1)
+            c2 = jnp.stack([cut, qhi, smid, shi], 1)
+            cur = jnp.stack([c1, c2], 1).reshape(-1, 4)
+    return ks_out, sc_out
+
+
+def score_levels_fused(q_dev, s_dev, parts_np, sc, depth=2,
+                       interpret=False, rw: int | None = None):
+    """Host driver for :func:`_score_levels_fused`. Returns a list of
+    (ks, scores) numpy pairs, one per sub-level (sub-level d has
+    2^d * P rows in device child order), or None when the shape is
+    ineligible (bucket too tall, multi-window slot clock, or VMEM
+    chunking would be needed -- the single-level path handles those)."""
+    hs = parts_np[:, 1] - parts_np[:, 0]
+    wd = parts_np[:, 3] - parts_np[:, 2]
+    mids = wd // 2
+    m_max = int(hs.max())
+    n_max = int(max(mids.max(), (wd - mids).max()))
+    B_last = 2 * len(parts_np) * (2 ** (depth - 1))
+    rws = ([rw] if rw is not None
+           else ([16, 8] if (not interpret and n_max >= 4096
+                             and m_max >= 2048) else [R_DEFAULT]))
+    for rw in rws:
+        w = rw * LANES
+        g_cap = 20 if rw <= 8 else max(2, 160 // rw)
+        Mb = _bucket(m_max, w)
+        if Mb - m_max < LANES:
+            Mb = _round_up(m_max + LANES, w)
+        if Mb > M_MAX:
+            return None
+        Nb = _bucket(n_max, w)
+        if Nb // w > g_cap:
+            continue  # EPP slot clock: keep plans static
+        per_prob = ((Mb // LANES) * 3 + (Nb // w) * rw * 2
+                    + (_round_up(Mb + 2 * w, w) // w) * rw) * LANES * 4
+        # scoped-VMEM window is 16 MiB; every sub-level's pallas_call
+        # counts its own inputs + scratch, the deepest (B_last) being
+        # the largest
+        if per_prob * B_last <= (12 << 20):
+            break
+    else:
+        return None  # no geometry fits in one un-chunked call
+    plans = tuple(
+        _slotted_plan(2 * len(parts_np) * (2 ** d), Mb, Nb, None,
+                      g_cap=g_cap, w=w)
+        for d in range(depth)
+    )
+    if any(p is None for p in plans):
+        return None
+    ks, scs = _score_levels_fused(
+        q_dev, s_dev, jnp.asarray(parts_np.astype(np.int32)), sc,
+        plans, Mb, Nb, depth, interpret=interpret, rw=rw,
+    )
+    ks = jax.device_get(ks)
+    scs = jax.device_get(scs)
+    return [(np.asarray(k), np.asarray(s)) for k, s in zip(ks, scs)]
+
+
+def score_level_parts(q_dev, s_dev, parts_np, sc, interpret=False,
+                      rw: int | None = None):
     """Host driver for _score_level_padded: bucket, plan, chunk against
     the scoped-VMEM window. Returns (ks, scores) numpy arrays, or None
-    if the level shape is ineligible for the slotted kernel."""
+    if the level shape is ineligible for the slotted kernel. ``rw``
+    overrides the window-height pick (tests)."""
     hs = parts_np[:, 1] - parts_np[:, 0]
     wd = parts_np[:, 3] - parts_np[:, 2]
     mids = wd // 2
     rws = wd - mids
     m_max = int(hs.max())
     n_max = int(max(mids.max(), rws.max()))
-    Mb = _bucket(m_max, W)
+    # Window height for the level: wide shallow levels (few big halves)
+    # stream ~2-3x faster at tall windows (see _pick_geometry); deep
+    # levels (many short halves) keep R=8 so the slot pool stays full.
+    # g_cap keeps ~160 in-flight sublanes, the measured VPU sweet spot.
+    if rw is not None:
+        pass
+    elif not interpret and n_max >= 12288 and m_max >= 4096:
+        rw = 32
+    elif not interpret and n_max >= 4096 and m_max >= 2048:
+        rw = 16
+    else:
+        rw = R_DEFAULT
+    w = rw * LANES
+    g_cap = 20 if rw <= 8 else max(2, 160 // rw)
+    Mb = _bucket(m_max, w)
     if Mb - m_max < LANES:
-        Mb = _round_up(m_max + LANES, W)
+        Mb = _round_up(m_max + LANES, w)
     if Mb > M_MAX:
         return None
-    Nb = _bucket(n_max, W)
-    per_prob = ((Mb // LANES) * 3 + (Nb // W) * R * 2
-                + (_round_up(Mb + 2 * W, W) // W) * R) * LANES * 4
+    Nb = _bucket(n_max, w)
+    per_prob = ((Mb // LANES) * 3 + (Nb // w) * rw * 2
+                + (_round_up(Mb + 2 * w, w) // w) * rw) * LANES * 4
     chunk_p = max(4, (12 << 20) // (2 * per_prob))
     ks, scores = [], []
     for lo in range(0, len(parts_np), chunk_p):
         ch = parts_np[lo: lo + chunk_p]
         ms2 = np.repeat(ch[:, 1] - ch[:, 0], 2)
-        plan = _slotted_plan(2 * len(ch), Mb, Nb, ms2)
+        plan = _slotted_plan(2 * len(ch), Mb, Nb, ms2, g_cap=g_cap, w=w)
+        if plan is None and rw != R_DEFAULT:
+            # wide-window slot clock infeasible (short sweep): retry at
+            # the base geometry
+            rw = R_DEFAULT
+            w = rw * LANES
+            Mb = _bucket(m_max, w)
+            if Mb - m_max < LANES:
+                Mb = _round_up(m_max + LANES, w)
+            Nb = _bucket(n_max, w)
+            plan = _slotted_plan(2 * len(ch), Mb, Nb, ms2, w=w)
         if plan is None:
             return None
         G, NW, PPE, EPP = plan
         k, s = _score_level_padded(
             q_dev, s_dev, jnp.asarray(ch.astype(np.int32)), sc,
-            G, NW, PPE, EPP, Mb, Nb, interpret=interpret,
+            G, NW, PPE, EPP, Mb, Nb, interpret=interpret, rw=rw,
         )
         ks.append(k)
         scores.append(s)
@@ -1855,19 +1979,22 @@ def score_level_parts(q_dev, s_dev, parts_np, sc, interpret=False):
     return np.concatenate(ks), np.concatenate(scores)
 
 
-def _slotted_plan(B: int, Mb: int, Nb: int, ms, g_cap: int = 20):
+def _slotted_plan(B: int, Mb: int, Nb: int, ms, g_cap: int = 20,
+                  w: int | None = None):
     """Choose (G, NW, PPE, EPP) for the slotted kernel, or None if the
     shape is ineligible (cross-epoch column-scratch constraint).
     ``g_cap`` caps the concurrent chains (register budget; lowered only
     by tests to exercise the EPP > 1 multi-epoch path at small Nb)."""
-    NW = Nb // W
+    W_ = w or W
+    S_ = W_ + LANES
+    NW = Nb // W_
     if NW <= g_cap:
         PPE = max(1, min(g_cap // NW, B))
         return PPE * NW, NW, PPE, 1
     # NW > G: one problem at a time over EPP epochs; chain 0's
     # next-epoch read must follow chain G-1's prior-epoch write.
-    T_min = 128 * (-(-int(np.min(ms)) // 128)) + 2 * W
-    G = min(g_cap, (T_min - W - 254) // STAGGER + 1)
+    T_min = 128 * (-(-int(np.min(ms)) // 128)) + 2 * W_
+    G = min(g_cap, (T_min - W_ - 254) // S_ + 1)
     if G < 2:
         return None
     return G, NW, 1, -(-NW // G)
@@ -2003,10 +2130,10 @@ def score_pairs_batched(qarr, sarr, ms, ns, mode: Mode, sc,
     )
 
 
-def _band_corners(row_in_flat, corner, num_windows):
+def _band_corners(row_in_flat, corner, num_windows, w=None):
     """corners[w] = H[i0-1][w*W - 1]: the band corner for w = 0, the
     boundary-row value just left of each window for w > 0."""
-    idx = jnp.arange(1, num_windows) * W - 1
+    idx = jnp.arange(1, num_windows) * (w or W) - 1
     return jnp.concatenate([
         jnp.reshape(corner, (1,)).astype(jnp.int32),
         row_in_flat[idx].astype(jnp.int32),
@@ -2038,8 +2165,16 @@ def score_pair_chained(qp, sp, m, n, mode: Mode, sc,
                          "subproblem flag")
     m_i, n_i = int(m), int(n)
     emit_col = mode is not Mode.LOCAL
-    if G is None:
-        G = _pick_g(min(m_i, band_rows), n_i, emit_col, affine)
+    if G is None and not interpret:
+        # Per-band geometry (see _pick_geometry): wide bands stream tall
+        # windows (genome-scale chained scoring ran ~51 GCUPS at R=8).
+        G, R, uu = _pick_geometry(min(m_i, band_rows), n_i, emit_col,
+                                  affine)
+    else:
+        R, uu = R_DEFAULT, None
+        if G is None:
+            G = _pick_g(min(m_i, band_rows), n_i, emit_col, affine)
+    W = R * LANES
     N_pad = _round_up(_bucket(n_i, W), G * W)
     M_pad = band_rows
     assert band_rows % LANES == 0
@@ -2090,9 +2225,11 @@ def score_pair_chained(qp, sp, m, n, mode: Mode, sc,
             kw["cole2"] = jnp.full((M_pad // LANES, LANES), NEG, Score)
         outs = _score_band_padded(
             q2, s2, row.reshape(-1, LANES), col_of(jnp.int32(i0)),
-            _band_corners(row, corner_of(jnp.int32(i0)), num_windows),
+            _band_corners(row, corner_of(jnp.int32(i0)), num_windows,
+                          w=W),
             jnp.int32(h), jnp.int32(n_i), mode, sc,
-            emit_col=emit_col, interpret=interpret, G=G, **kw,
+            emit_col=emit_col, interpret=interpret, G=G, rw=R, uu=uu,
+            **kw,
         )
         row = outs["last_row"]
         if affine:
