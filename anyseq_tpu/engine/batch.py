@@ -739,6 +739,15 @@ def align_scores_batch(queries, subjects, mode="global",
     return out
 
 
+@functools.partial(jax.jit, static_argnames=("sc",))
+def preds_walk_batch(q, s, ms, ns, sc):
+    """Terminal-stripe pred sweep + on-device batched walk fused in ONE
+    jitted call (one dispatch, one fetch -- two separate jits cost two
+    tunnel round trips per terminal group). Returns (out_q, out_s)."""
+    preds, _ = preds_batch(q, s, ms, ns, sc)
+    return walk_batch(preds, q, s, ms, ns)
+
+
 @jax.jit
 def walk_batch(preds, q, s, ms, ns):
     """On-device batched GLOBAL traceback walk over dense predecessor

@@ -28,14 +28,17 @@ stripes -- the reference's ragged blockwise predecessor matrix
 """
 from __future__ import annotations
 
+import functools
 import os
 import time
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 from anyseq_tpu.core.types import (
     EMPTY_SYM,
+    SCORE_MIN,
     AffineScoring,
     Alignment,
     LinearScoring,
@@ -317,6 +320,36 @@ def _hb_global(q8, s8, off_i, off_j, out_q, out_s, scoring, engine,
         hs = [p[1] - p[0] for p in parts]
         mids = [(p[3] - p[2]) // 2 for p in parts]
 
+        if (use_kernel and mesh is None and P == 1
+                and parts[0] == (0, m, 0, n) and m <= band.M_MAX
+                and not isinstance(scoring, AffineScoring)):
+            # Root levels P=1 and P=2 in ONE dispatch: the halves run
+            # the full single-pair wide-window geometry (persistent
+            # R=32/64) with on-device hb_sum merges and on-device
+            # level-2 part construction (subject cuts are static).
+            top = band.score_top_levels_fused(qdev, sdev, m, n, scoring)
+            if top is not None:
+                k0, score0, k2a, k2b = (int(x) for x in top)
+                if root_score is None:
+                    root_score = score0
+                mid0 = n // 2
+                kids = [(0, k0 + 1, 0, mid0), (k0 + 1, m, mid0, n)]
+                for j, kid in enumerate(kids):
+                    qlo, qhi, slo, shi = kid
+                    h, wk = qhi - qlo, shi - slo
+                    if h == 0 or wk <= min_width or wk < 2 or h <= 1:
+                        classify(kid)
+                    else:
+                        k = (k2a, k2b)[j]
+                        mid2 = wk // 2
+                        classify((qlo, qlo + k + 1, slo, slo + mid2))
+                        classify((qlo + k + 1, qhi, slo + mid2, shi))
+                _tlog(f"level P=1+2 maxh={m} maxmid={n // 2} "
+                      f"path=top-fused "
+                      f"{(time.perf_counter()-_lt0)*1e3:.0f}ms")
+                _save_level()
+                continue
+
         if mesh is not None and P <= 4 and min(mids) >= sp_min_width:
             # Wide halves: subject-sharded pipelined wavefront per half
             # over the whole mesh; the half's boundary column is the
@@ -548,16 +581,11 @@ def _hb_global(q8, s8, off_i, off_j, out_q, out_s, scoring, engine,
                 # On-device batched walk: only the O(B*(H+W)) aligned
                 # strings leave the device (the dense O(B*H*W) pred
                 # fetch dominated the terminal phase on tunneled TPUs).
-                preds, _ = batch.preds_batch(
+                # Pred sweep + walk fused in ONE dispatch, ONE fetch.
+                oq, osub = jax.device_get(batch.preds_walk_batch(
                     jnp.asarray(qarr), jnp.asarray(sarr),
                     jnp.asarray(ms), jnp.asarray(ns), scoring,
-                )
-                oq, osub = batch.walk_batch(
-                    preds, jnp.asarray(qarr), jnp.asarray(sarr),
-                    jnp.asarray(ms), jnp.asarray(ns),
-                )
-                oq = np.asarray(oq)
-                osub = np.asarray(osub)
+                ))
                 from anyseq_tpu.core.types import EMPTY_SYM
                 for b, (qlo, qhi, slo, shi) in enumerate(chunk):
                     h, w = qhi - qlo, shi - slo
@@ -949,6 +977,155 @@ def _find_end(q8, s8, mode, scoring, engine, mesh=None):
     )
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("mode", "sc", "geo", "fwd_persistent", "interpret"),
+)
+def _endpoint_fused_jit(q2, s2, m, n, mode, sc, geo, fwd_persistent,
+                        interpret=False):
+    """BOTH endpoint-reduction passes in one dispatch (semiglobal/local,
+    linear scoring, kernel path): forward sweep, on-device end
+    extraction (bit-exact mirror of extract_score_from_outputs incl.
+    the semiglobal 0-boundary candidates and first-max tie order),
+    on-device reversed-prefix construction, reverse sweep, on-device
+    start extraction (mirror of the host reverse-pass logic). Saves a
+    dispatch + fetch round trip (~120 ms on a tunneled TPU).
+
+    Returns int32 [score, ei, ej, rscore, ri, rj]."""
+    from anyseq_tpu.kernels import band as _b
+
+    G, R, U = geo
+    M_pad = q2.shape[0] * 128
+    N_pad = s2.shape[0] * 128
+    NEGS = jnp.int32(SCORE_MIN)
+    local = mode is Mode.LOCAL
+
+    outs_f = _b._score_padded(
+        q2, s2, m, n, mode, sc, emit_col=not local, G=G, rw=R, uu=U,
+        persistent=fwd_persistent, need_pos=True, interpret=interpret,
+    )
+    if local:
+        best = outs_f["best"]
+        score, ei, ej = best[0], best[1], best[2]
+    else:
+        lrow = jnp.where(jnp.arange(N_pad) < n, outs_f["last_row"], NEGS)
+        lcol = jnp.where(jnp.arange(M_pad) < m, outs_f["last_col"], NEGS)
+        rmax = jnp.max(lrow)
+        rarg = jnp.argmax(lrow).astype(jnp.int32)
+        # row candidates prepended with the 0 boundary at j = -1:
+        # boundary wins ties (np.argmax over the concat picks index 0)
+        score = jnp.maximum(rmax, 0)
+        ej = jnp.where(0 >= rmax, jnp.int32(-1), rarg)
+        ei = jnp.int32(m - 1)
+        cmax = jnp.max(lcol)
+        carg = jnp.argmax(lcol).astype(jnp.int32)
+        cscore = jnp.maximum(cmax, 0)
+        ci_ = jnp.where(0 >= cmax, jnp.int32(-1), carg)
+        take = cscore > score
+        score = jnp.where(take, cscore, score)
+        ei = jnp.where(take, ci_, ei)
+        ej = jnp.where(take, jnp.int32(n - 1), ej)
+
+    # Reversed end-prefix, built on device (positions past the prefix
+    # are out-of-range pads, as the kernel fast paths require).
+    mr = ei + 1
+    nr = ej + 1
+    iq = ei - jnp.arange(M_pad)
+    qr = jnp.where(
+        iq >= 0,
+        q2.reshape(-1)[jnp.clip(iq, 0, M_pad - 1)], _b.PAD_Q
+    ).astype(jnp.int32)
+    js = ej - jnp.arange(N_pad)
+    sr = jnp.where(
+        js >= 0,
+        s2.reshape(-1)[jnp.clip(js, 0, N_pad - 1)], _b.PAD_S
+    ).astype(jnp.int32)
+    qr2 = qr.reshape(-1, 128)
+    sr2 = sr.reshape(-1, 128)
+    mr_c = jnp.maximum(mr, 1)
+    nr_c = jnp.maximum(nr, 1)
+
+    if local:
+        outs_r = _b._score_padded(
+            qr2, sr2, mr_c, nr_c, mode, sc, emit_col=False, G=G, rw=R,
+            uu=U, persistent=False, need_pos=True, interpret=interpret,
+        )
+        bestr = outs_r["best"]
+        rscore, ri, rj = bestr[0], bestr[1], bestr[2]
+    else:
+        # GLOBAL boundary inits, semiglobal-style extraction with the
+        # all-gap boundary candidates (host reverse-pass logic).
+        outs_r = _b._score_padded(
+            qr2, sr2, mr_c, nr_c, Mode.GLOBAL, sc, emit_col=True, G=G,
+            rw=R, uu=U, persistent=False, need_pos=True,
+            interpret=interpret,
+        )
+        g = jnp.int32(sc.gap)
+        lrow = jnp.where(jnp.arange(N_pad) < nr, outs_r["last_row"],
+                         NEGS)
+        lcol = jnp.where(jnp.arange(M_pad) < mr, outs_r["last_col"],
+                         NEGS)
+        rj_ = jnp.argmax(lrow).astype(jnp.int32)
+        rscore = lrow[rj_]
+        ri = mr - 1
+        rj = rj_
+        ci = jnp.argmax(lcol).astype(jnp.int32)
+        take = lcol[ci] > rscore
+        rscore = jnp.where(take, lcol[ci], rscore)
+        ri = jnp.where(take, ci, ri)
+        rj = jnp.where(take, nr - 1, rj)
+        take = g * mr > rscore
+        rscore = jnp.where(take, g * mr, rscore)
+        ri = jnp.where(take, mr - 1, ri)
+        rj = jnp.where(take, jnp.int32(-1), rj)
+        take = g * nr > rscore
+        rscore = jnp.where(take, g * nr, rscore)
+        ri = jnp.where(take, jnp.int32(-1), ri)
+        rj = jnp.where(take, nr - 1, rj)
+
+    return jnp.stack([score, ei, ej, rscore, ri, rj]).astype(jnp.int32)
+
+
+def _endpoint_reduction_fused(q8, s8, mode, scoring, engine,
+                              interpret=False):
+    """Host driver for :func:`_endpoint_fused_jit`, or None when the
+    configuration keeps the two-pass path (affine, no kernel, LOCAL
+    empty-score early-exit handled by the caller either way).
+    ``interpret`` runs the kernels in interpret mode (CPU tests)."""
+    from anyseq_tpu.engine import api
+    from anyseq_tpu.kernels import band as _b
+
+    if isinstance(scoring, AffineScoring):
+        return None
+    if not interpret and not (engine in ("auto", "pallas")
+                              and _b.available()):
+        return None
+    m, n = len(q8), len(s8)
+    _, _, _, _, qp, sp = api._prep(q8, s8)
+    emit_col = mode is not Mode.LOCAL
+    if interpret:
+        G, R, U = 2, 8, None
+    else:
+        G, R, U = _b._pick_geometry(m, n, emit_col, False)
+    W = R * _b.LANES
+    M_pad = _b._bucket(m, W)
+    if M_pad - m < _b.LANES:
+        M_pad = (m + _b.LANES + W - 1) // W * W
+    if M_pad > _b.M_MAX:
+        return None
+    N_pad = -(-_b._bucket(n, W) // (G * W)) * (G * W)
+    q2 = _b._fit_padded(qp, M_pad, m, _b.PAD_Q)
+    s2 = _b._fit_padded(sp, N_pad, n, _b.PAD_S)
+    T_est = 128 * (-(-m // 128)) + W + (W if emit_col else 0)
+    fwd_persistent = (N_pad // (G * W) > 1
+                      and (G - 1) * (W + 128) + W + 254 <= T_est)
+    out = np.asarray(_endpoint_fused_jit(
+        q2, s2, jnp.int32(m), jnp.int32(n), mode, scoring,
+        (G, R, U), fwd_persistent, interpret=interpret,
+    ))
+    return tuple(int(x) for x in out)
+
+
 def align_hirschberg(query, subject, mode, scoring=LinearScoring(),
                      engine="auto", min_width=None, mesh=None,
                      sp_min_width=None, checkpoint_path=None) -> Alignment:
@@ -1024,7 +1201,24 @@ def align_hirschberg(query, subject, mode, scoring=LinearScoring(),
             stage = {k: int(ck[k]) for k in
                      ("stage", "score", "ei", "ej", "rscore", "ri", "rj")}
 
-    if stage is not None and stage["stage"] >= 1:
+    fused6 = None
+    if stage is None and mesh is None:
+        _et0 = time.perf_counter()
+        fused6 = _endpoint_reduction_fused(q8, s8, mode, scoring, engine)
+        if fused6 is not None:
+            _tlog(f"endpoint fused "
+                  f"{(time.perf_counter()-_et0)*1e3:.0f}ms")
+
+    if fused6 is not None:
+        score, ei, ej, _rscore_f, _ri_f, _rj_f = fused6
+        stage = {"stage": 2, "score": score, "ei": ei, "ej": ej,
+                 "rscore": _rscore_f, "ri": _ri_f, "rj": _rj_f}
+        if outer is not None:
+            outer.save(stage=np.int64(2), score=np.int64(score),
+                       ei=np.int64(ei), ej=np.int64(ej),
+                       rscore=np.int64(_rscore_f), ri=np.int64(_ri_f),
+                       rj=np.int64(_rj_f))
+    elif stage is not None and stage["stage"] >= 1:
         score, (ei, ej) = stage["score"], (stage["ei"], stage["ej"])
     else:
         _ft0 = time.perf_counter()

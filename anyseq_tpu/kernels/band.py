@@ -1642,11 +1642,12 @@ def _score_batched_padded(q3, s3, dims, mode: Mode, sc, G: int, GP: int,
 
 @functools.partial(
     jax.jit, static_argnames=("mode", "sc", "G", "NW", "PPE", "EPP",
-                              "interpret", "rw")
+                              "interpret", "rw", "uu")
 )
 def _score_slotted_padded(q3, s3, dims, col_init, cole_init, mode: Mode,
                           sc, G: int, NW: int, PPE: int, EPP: int,
-                          interpret=False, rw: int | None = None):
+                          interpret=False, rw: int | None = None,
+                          uu: int | None = None):
     """Many independent problems in ONE launch with chains assigned to
     (problem, window) SLOTS -- the deep-Hirschberg-level engine.
 
@@ -1677,7 +1678,7 @@ def _score_slotted_padded(q3, s3, dims, col_init, cole_init, mode: Mode,
         mode, sc, emit_col=True, G=G,
         slotted=dict(B=B, NW=NW, MRb=MRb, SRp=stage_rows,
                      PPE=PPE, EPP=EPP),
-        rw=R,
+        rw=R, uu=uu,
     )
 
     out_shape = [
@@ -1736,10 +1737,11 @@ def _score_slotted_padded(q3, s3, dims, col_init, cole_init, mode: Mode,
 
 @functools.partial(
     jax.jit, static_argnames=("sc", "G", "NW", "PPE", "EPP", "Mb", "Nb",
-                              "interpret", "rw")
+                              "interpret", "rw", "uu")
 )
 def _score_level_padded(q_dev, s_dev, parts, sc, G, NW, PPE, EPP, Mb,
-                        Nb, interpret=False, rw: int | None = None):
+                        Nb, interpret=False, rw: int | None = None,
+                        uu: int | None = None):
     """One whole Hirschberg divide level ON DEVICE: build the 2P
     half-problems by gather from the resident sequences, run the
     slotted wavefront kernel, and do the hb_sum argmax merge
@@ -1799,7 +1801,7 @@ def _score_level_padded(q_dev, s_dev, parts, sc, G, NW, PPE, EPP, Mb,
     res = _score_slotted_padded(
         q3.reshape(-1, LANES), s3.reshape(-1, LANES), dims,
         ci.reshape(-1, LANES), None, Mode.GLOBAL, sc,
-        G, NW, PPE, EPP, interpret=interpret, rw=rw,
+        G, NW, PPE, EPP, interpret=interpret, rw=rw, uu=uu,
     )
     cols = res["last_cols"]                     # (B, Mb)
     L, Rv = cols[0::2], cols[1::2]              # (P, Mb)
@@ -1913,6 +1915,139 @@ def score_levels_fused(q_dev, s_dev, parts_np, sc, depth=2,
     return [(np.asarray(k), np.asarray(s)) for k, s in zip(ks, scs)]
 
 
+def _hb_merge_cols(L, Rv, h, mid_w, right_w, g, Mb):
+    """Device hb_sum: F(j) = L[j-1] + R[h-1-j] over j in [0, h] with
+    the all-gap edge candidates (reference traceback_lintime.impala:
+    69-83); first-max ties -> smallest k. Returns (k, score)."""
+    jm = jnp.arange(Mb + 1, dtype=jnp.int32)
+    l_at = L[jnp.clip(jm - 1, 0, Mb - 1)]
+    r_at = Rv[jnp.clip(h - 1 - jm, 0, Mb - 1)]
+    F = l_at + r_at
+    F = jnp.where(jm == 0, mid_w * g + Rv[jnp.maximum(h - 1, 0)], F)
+    F = jnp.where(jm == h, L[jnp.maximum(h - 1, 0)] + right_w * g, F)
+    F = jnp.where(jm > h, jnp.int32(-(2**30)), F)
+    k = jnp.argmax(F).astype(jnp.int32) - 1
+    return k, jnp.max(F)
+
+
+def score_top_levels_fused(q_dev, s_dev, m, n, sc, interpret=False):
+    """The P=1 and P=2 Hirschberg divide levels in ONE dispatch.
+
+    The six half-sweeps chain on device through the wide-window
+    persistent/grid kernels (_score_padded): level 1 splits the whole
+    problem, level 2's two parts are built from the level-1 split row
+    (subject cuts are STATIC -- only part heights are data-dependent),
+    and both hb_sum merges run on device. Returns numpy
+    (k0, score0, ks2[2]) or None when ineligible. Saves one ~65 ms
+    dispatch + fetch round trip vs separate levels, and runs the
+    level-1 halves at the full single-pair geometry (persistent
+    R=32/64) instead of the slotted EPP clock."""
+    if isinstance(sc, AffineScoring):
+        return None
+    mid = n // 2
+    rest = n - mid
+    if m > M_MAX or min(mid, rest) < 2 * W or m < 2:
+        return None
+    g = sc.gap
+
+    def geo_for(width, height=m):
+        if interpret:
+            return 2, 8, None, False
+        G_, R_, U_ = _pick_geometry(height, width, True, False)
+        w_ = R_ * LANES
+        T_est = 128 * (-(-height // 128)) + 2 * w_
+        n_pad = _round_up(_bucket(width, w_), G_ * w_)
+        pers = (n_pad // (G_ * w_) > 1
+                and (G_ - 1) * (w_ + LANES) + w_ + 254 <= T_est)
+        return G_, R_, U_, pers
+
+    geo1a = geo_for(mid)
+    geo1b = geo_for(rest)
+    # level 2: conservative grid geometry (heights are traced)
+    geo2 = ((2, 8, None, False) if interpret
+            else (*_pick_geometry(m, mid // 2 or 1, True, False)[:3],
+                  False))
+
+    out = _score_top_levels_jit(
+        jnp.asarray(q_dev), jnp.asarray(s_dev), jnp.int32(m),
+        jnp.int32(n), sc, geo1a, geo1b, geo2, interpret,
+    )
+    return np.asarray(out)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("sc", "geo1a", "geo1b", "geo2", "interpret"),
+)
+def _score_top_levels_jit(q_dev, s_dev, m, n, sc, geo1a, geo1b, geo2,
+                          interpret=False):
+    M = q_dev.shape[0]          # static true length bounds
+    N = s_dev.shape[0]
+    mid = N // 2
+    rest = N - mid
+    g = jnp.int32(sc.gap)
+
+    def padded_seq(src, lo, length, max_len, pad, rev):
+        """(bucketed,) int32: src[lo : lo+length] (or reversed slice
+        ending at lo+length-1), positions >= length -> pad."""
+        size = _bucket(max_len, LANES)
+        i = jnp.arange(size)
+        idx = jnp.where(rev, lo + length - 1 - i, lo + i)
+        v = src[jnp.clip(idx, 0, src.shape[0] - 1)]
+        return jnp.where(i < length, v, pad).astype(jnp.int32)
+
+    def half_sweep(qlo, h, slo, wlen, w_max, geo, rev):
+        G_, R_, U_, pers = geo
+        w_ = R_ * LANES
+        M_pad = _bucket(M, w_)
+        if M_pad - M < LANES:
+            M_pad = _round_up(M + LANES, w_)
+        N_pad = _round_up(_bucket(w_max, w_), G_ * w_)
+        q2 = padded_seq(q_dev, qlo, h, M_pad, PAD_Q, rev)
+        q2 = jnp.where(jnp.arange(M_pad) < h, q2[:M_pad], PAD_Q)
+        s2 = padded_seq(s_dev, slo, wlen, N_pad, PAD_S, rev)
+        outs = _score_padded(
+            q2.reshape(-1, LANES),
+            s2[:N_pad].reshape(-1, LANES),
+            jnp.maximum(h, 1), jnp.maximum(wlen, 1), Mode.GLOBAL, sc,
+            emit_col=True, G=G_, rw=R_, uu=U_, persistent=pers,
+            need_pos=False, interpret=interpret,
+        )
+        col = outs["last_col"]
+        Mb_ = col.shape[0]
+        return jnp.where(jnp.arange(Mb_) < h, col, jnp.int32(-(2**30)))
+
+    # ---- level 1: full height, static geometry
+    L1 = half_sweep(jnp.int32(0), m, jnp.int32(0), jnp.int32(mid), mid,
+                    geo1a, jnp.bool_(False))
+    R1 = half_sweep(jnp.int32(0), m, jnp.int32(mid),
+                    n - jnp.int32(mid), rest, geo1b, jnp.bool_(True))
+    Mb1 = min(L1.shape[0], R1.shape[0])
+    k0, score0 = _hb_merge_cols(L1[:Mb1], R1[:Mb1], m, jnp.int32(mid),
+                                n - mid, g, Mb1)
+
+    # ---- level 2: parts (0, cut, 0, mid) and (cut, m, mid, n)
+    kk = jnp.clip(k0, -1, m - 1)
+    cut = jnp.clip(kk + 1, 0, m)
+    ks2 = []
+    for (qlo, h, slo, wpart) in (
+        (jnp.int32(0), cut, jnp.int32(0), jnp.int32(mid)),
+        (cut, m - cut, jnp.int32(mid), n - jnp.int32(mid)),
+    ):
+        mid2 = wpart // 2
+        w2max = max(mid // 2 + 1, rest // 2 + 1)
+        L2 = half_sweep(qlo, h, slo, mid2, w2max, geo2,
+                        jnp.bool_(False))
+        R2 = half_sweep(qlo, h, slo + mid2, wpart - mid2, w2max, geo2,
+                        jnp.bool_(True))
+        Mb2 = min(L2.shape[0], R2.shape[0])
+        k2, _ = _hb_merge_cols(L2[:Mb2], R2[:Mb2], h, mid2,
+                               wpart - mid2, g, Mb2)
+        ks2.append(k2)
+
+    return jnp.stack([k0, score0, ks2[0], ks2[1]]).astype(jnp.int32)
+
+
 def score_level_parts(q_dev, s_dev, parts_np, sc, interpret=False,
                       rw: int | None = None):
     """Host driver for _score_level_padded: bucket, plan, chunk against
@@ -1969,6 +2104,7 @@ def score_level_parts(q_dev, s_dev, parts_np, sc, interpret=False,
         k, s = _score_level_padded(
             q_dev, s_dev, jnp.asarray(ch.astype(np.int32)), sc,
             G, NW, PPE, EPP, Mb, Nb, interpret=interpret, rw=rw,
+            uu=32 if (rw >= 16 and not interpret) else None,
         )
         ks.append(k)
         scores.append(s)

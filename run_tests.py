@@ -35,7 +35,8 @@ def main() -> int:
 
     # Longest-running files first (better 2-worker packing); file size
     # is a good-enough proxy, with the two known-slow files pinned.
-    slow = ["test_kernel_sched.py", "test_kernel.py", "test_collective.py"]
+    slow = ["test_kernel_sched.py", "test_kernel.py",
+            "test_collective.py", "test_kernel_levels.py"]
     files = sorted(
         glob.glob(os.path.join(HERE, "tests", "test_*.py")),
         key=lambda f: (slow.index(os.path.basename(f)) - 10
