@@ -133,11 +133,16 @@ def run(quick=False, out=sys.stdout):
     q, s = _mkpair(rng, n3)
     _os.environ["ANYSEQ_TIMING"] = "1"
     anyseq_tpu.align(q, s, "semiglobal", sc, traceback="hirschberg")
-    _hb.TIMING_LOG.clear()
-    t0 = time.perf_counter()
-    anyseq_tpu.align(q, s, "semiglobal", sc, traceback="hirschberg")
-    dt3 = time.perf_counter() - t0
-    breakdown = list(_hb.TIMING_LOG)
+    dt3 = None
+    breakdown = None
+    for _ in range(2):  # best-of-2 warm, as _warm_time below
+        _hb.TIMING_LOG.clear()
+        t0 = time.perf_counter()
+        anyseq_tpu.align(q, s, "semiglobal", sc, traceback="hirschberg")
+        dt = time.perf_counter() - t0
+        if dt3 is None or dt < dt3:
+            dt3 = dt
+            breakdown = list(_hb.TIMING_LOG)
     _os.environ.pop("ANYSEQ_TIMING", None)
     rec = {
         "config": f"semiglobal hirschberg {n3//1000}k",

@@ -18,9 +18,11 @@ path), so chips reach concurrent steady state ~30x sooner; the suite's
 
 This is the DEFAULT distributed engine: ``dist.sharded.score_pair_sharded``
 (and through it ``align(mesh=)`` and the distributed Hirschberg wide-level
-phase) routes to it automatically for linear scoring on a 1-D mesh, the
-same way the reference's one fast inner loop serves every execution shape
-(iteration_acc.impala:30-83 vs :87-172).
+phase) routes to it automatically for linear AND affine (Gotoh) scoring
+on a 1-D mesh -- the affine E-column halo rides a second in-kernel RDMA
+channel -- the same way the reference's one fast inner loop serves every
+execution shape (iteration_acc.impala:30-83 vs :87-172). Stripes run the
+wide-window streamed geometry (kernels/band._pick_geometry).
 
 Heights above ``kernels.band.M_MAX`` chain band sweeps INSIDE the stripe:
 each band is one collective kernel launch; the band's bottom row stays
@@ -30,8 +32,8 @@ Correctness is validated on the CPU TPU-interpreter
 (pltpu.InterpretParams), which simulates per-device memory, RDMA delivery
 and semaphores.
 
-Limits: linear scoring (affine goes through the superstep path), 1-D mesh
-axis (2-D meshes are rejected -- route the dp axis via dist/batch.py).
+Limits: 1-D mesh axis (2-D meshes are rejected -- route the dp axis via
+dist/batch.py).
 """
 from __future__ import annotations
 
@@ -118,10 +120,18 @@ def score_pair_collective(query, subject, mode, sc,
         num_bands = -(-m // band_rows)
 
     if G is None:
-        G = band._pick_g(min(m, band_rows),
-                         _round_up(max(n, 1), band.W * K) // K,
-                         emit_col=True, affine=affine)
-    Nl = _round_up(max(n, 1), band.W * G * K) // K
+        # Joint (G, R, U) stripe geometry (kernels/band._pick_geometry):
+        # wide streamed windows apply to the collective stripe kernel
+        # too (the RDMA halo stays 128-row (1,128) chunks regardless).
+        G, RW, UU = band._pick_geometry(
+            min(m, band_rows), _round_up(max(n, 1), band.W * K) // K,
+            emit_col=True, affine=affine)
+    else:
+        RW, UU = band.R_DEFAULT, None
+    if interpret:
+        RW, UU = band.R_DEFAULT, None
+    W_ = RW * band.LANES
+    Nl = _round_up(max(n, 1), W_ * G * K) // K
     N_pad = Nl * K
     MR = M_pad // band.LANES
 
@@ -144,7 +154,7 @@ def score_pair_collective(query, subject, mode, sc,
     s_sh = jax.device_put(s, shard)
     row0_sh = jax.device_put(row0, shard)
     rowf0_sh = jax.device_put(rowf0, shard) if affine else None
-    nw = Nl // band.W
+    nw = Nl // W_
 
     def run(q_full, s_loc, row_loc, rowf_loc=None):
         k = jax.lax.axis_index(axis)
@@ -195,7 +205,7 @@ def score_pair_collective(query, subject, mode, sc,
                 col0 = jnp.zeros((M_pad,), Score)
                 cole0 = (jnp.full((M_pad,), NEG, Score)
                          if affine else None)
-            corners = band._band_corners(row, corner0, nw)
+            corners = band._band_corners(row, corner0, nw, w=W_)
             n_loc = jnp.clip(n - j0, 0, Nl)
 
             outs = band._score_band_padded(
@@ -205,7 +215,7 @@ def score_pair_collective(query, subject, mode, sc,
                 col0.reshape(-1, band.LANES),
                 corners, jnp.int32(h), n_loc, mode, sc,
                 emit_col=True, interpret=interpret, G=G,
-                collective_axis=axis,
+                collective_axis=axis, rw=RW, uu=UU,
                 rowf2=(rowf.reshape(-1, band.LANES) if affine else None),
                 cole2=(cole0.reshape(-1, band.LANES) if affine else None),
             )
