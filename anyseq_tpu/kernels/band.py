@@ -166,7 +166,8 @@ def _make_kernel(mode: Mode, sc, emit_col: bool, G: int,
                  collective_axis: str | None = None,
                  batched: bool = False, persistent: int = 0,
                  need_pos: bool = True, slotted: dict | None = None,
-                 rw: int | None = None, uu: int | None = None):
+                 rw: int | None = None, uu: int | None = None,
+                 mesh_axes: tuple[str, ...] | None = None):
     """Build the wavefront kernel body.
 
     ``boundary=False``: closed-form DP boundary (the top row / left column
@@ -375,6 +376,17 @@ def _make_kernel(mode: Mode, sc, emit_col: bool, G: int,
             k_idx = jax.lax.axis_index(collective_axis)
             K_ax = jax.lax.axis_size(collective_axis)
 
+            def _dev(idx):
+                """Mesh coordinates of the neighbor at stripe index
+                ``idx``: on a multi-axis mesh (dp x sp batch-of-pairs)
+                the other axes keep this device's own coordinate."""
+                if mesh_axes is None:
+                    return (idx,)
+                return tuple(
+                    idx if a == collective_axis else jax.lax.axis_index(a)
+                    for a in mesh_axes
+                )
+
             def _row_rdma(row):
                 """One 128-row boundary-column chunk to the right
                 neighbor's colbuf (same buffer, SPMD)."""
@@ -383,7 +395,9 @@ def _make_kernel(mode: Mode, sc, emit_col: bool, G: int,
                     dst_ref=colbuf_s.at[pl.ds(row, 1), :],
                     send_sem=send_sem,
                     recv_sem=recv_sem,
-                    device_id=(jnp.where(k_idx + 1 < K_ax, k_idx + 1, 0),),
+                    device_id=_dev(
+                        jnp.where(k_idx + 1 < K_ax, k_idx + 1, 0)
+                    ),
                 )
 
             if affine:
@@ -395,8 +409,8 @@ def _make_kernel(mode: Mode, sc, emit_col: bool, G: int,
                         dst_ref=colbuf_e_s.at[pl.ds(row, 1), :],
                         send_sem=send_sem_e,
                         recv_sem=recv_sem_e,
-                        device_id=(
-                            jnp.where(k_idx + 1 < K_ax, k_idx + 1, 0),
+                        device_id=_dev(
+                            jnp.where(k_idx + 1 < K_ax, k_idx + 1, 0)
                         ),
                     )
 
@@ -408,11 +422,13 @@ def _make_kernel(mode: Mode, sc, emit_col: bool, G: int,
 
                 @pl.when(k_idx > 0)
                 def _():
-                    pltpu.semaphore_signal(bsem, 1, device_id=(k_idx - 1,))
+                    pltpu.semaphore_signal(bsem, 1,
+                                           device_id=_dev(k_idx - 1))
 
                 @pl.when(k_idx < K_ax - 1)
                 def _():
-                    pltpu.semaphore_signal(bsem, 1, device_id=(k_idx + 1,))
+                    pltpu.semaphore_signal(bsem, 1,
+                                           device_id=_dev(k_idx + 1))
 
                 expected = (
                     jnp.where(k_idx > 0, 1, 0)
@@ -1410,14 +1426,16 @@ def _score_padded(q2, s2, m, n, mode: Mode, sc: LinearScoring,
 @functools.partial(
     jax.jit,
     static_argnames=("mode", "sc", "emit_col", "interpret", "G",
-                     "emit_preds", "collective_axis", "rw", "uu"),
+                     "emit_preds", "collective_axis", "rw", "uu",
+                     "mesh_axes"),
 )
 def _score_band_padded(q2, s2, row2, col2, corners, m, n, mode: Mode, sc,
                        emit_col: bool = True, interpret=False,
                        G: int = DEFAULT_G, emit_preds: bool = False,
                        rowf2=None, cole2=None,
                        collective_axis: str | None = None,
-                       rw: int | None = None, uu: int | None = None):
+                       rw: int | None = None, uu: int | None = None,
+                       mesh_axes: tuple[str, ...] | None = None):
     """Boundary-mode kernel call: relax a band of ``m`` query rows whose
     top row / left column state is given explicitly.
 
@@ -1445,7 +1463,7 @@ def _score_band_padded(q2, s2, row2, col2, corners, m, n, mode: Mode, sc,
 
     kernel = _make_kernel(mode, sc, emit_col, G, emit_preds, p_pl,
                           boundary=True, collective_axis=collective_axis,
-                          rw=R, uu=uu)
+                          rw=R, uu=uu, mesh_axes=mesh_axes)
     dims = jnp.stack([m, n]).astype(jnp.int32)
 
     blocked = lambda: pl.BlockSpec((G * R, LANES), lambda gr: (gr, 0),
