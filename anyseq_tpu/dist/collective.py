@@ -60,6 +60,21 @@ def _round_up(x, m):
     return (x + m - 1) // m * m
 
 
+# Per-device-set collective_id allocation (VERDICT r3/r4: a hard-coded
+# id would collide the barrier semaphore if two collective kernels over
+# DIFFERENT device sets ever ran concurrently in one process; kernels
+# over the SAME device set execute in program order and may share an
+# id). Ids start at 7 (0-6 reserved informally for user kernels).
+_COLLECTIVE_IDS: dict[tuple, int] = {}
+
+
+def _collective_id_for(mesh: Mesh) -> int:
+    key = tuple(d.id for d in np.asarray(mesh.devices).flat)
+    if key not in _COLLECTIVE_IDS:
+        _COLLECTIVE_IDS[key] = 7 + (len(_COLLECTIVE_IDS) % 32)
+    return _COLLECTIVE_IDS[key]
+
+
 def supports(mesh: Mesh, axis: str, sc, mode=None) -> bool:
     """True when the collective engine can run this configuration.
     Linear AND affine (Gotoh) scoring (r4: the E-column halo rides a
@@ -158,6 +173,7 @@ def score_pair_collective(query, subject, mode, sc,
     row0_sh = jax.device_put(row0, shard)
     rowf0_sh = jax.device_put(rowf0, shard) if affine else None
     nw = Nl // W_
+    coll_id = _collective_id_for(mesh)
 
     def run(q_full, s_loc, row_loc, rowf_loc=None):
         k = jax.lax.axis_index(axis)
@@ -221,6 +237,7 @@ def score_pair_collective(query, subject, mode, sc,
                 collective_axis=axis, rw=RW, uu=UU,
                 rowf2=(rowf.reshape(-1, band.LANES) if affine else None),
                 cole2=(cole0.reshape(-1, band.LANES) if affine else None),
+                collective_id=coll_id,
             )
             row = outs["last_row"][:Nl]
             if affine:
@@ -371,6 +388,7 @@ def score_pairs_collective(queries, subjects, mode, sc, mesh: Mesh,
     else:
         row0 = jnp.zeros((Bp, N_pad), Score)
 
+    coll_id = _collective_id_for(mesh)
     Pdp = P(axis_dp)
     Pds = P(axis_dp, axis_sp)
     s_sh = jax.device_put(jnp.asarray(sarr),
@@ -403,7 +421,7 @@ def score_pairs_collective(queries, subjects, mode, sc, mesh: Mesh,
                 corners, mb, n_loc, mode, sc,
                 emit_col=True, interpret=interpret, G=G,
                 collective_axis=axis_sp, rw=RW, uu=UU,
-                mesh_axes=mesh_axes,
+                mesh_axes=mesh_axes, collective_id=coll_id,
             )
             rows.append(outs["last_row"][:Nl])
             ecol = outs["last_col"][:M_pad]

@@ -161,6 +161,33 @@ class FastqReader(SequenceReader):
         rec.qualities = self._file.readline().rstrip(b"\r\n")
 
 
+class SequenceHeaderReader(SequenceReader):
+    """Reads sequence header lines only (reference
+    sequence_io.h:115-143 / sequence_io.cpp:168-200): each ``next()``
+    scans forward to the next line starting with '>' or '@' and returns
+    its text (without the marker) as the record header; ``data`` stays
+    empty. Works on both FASTA and FASTQ files."""
+
+    def __init__(self, filename: str):
+        super().__init__()
+        try:
+            self._file = open(filename, "rb")
+        except OSError as e:
+            self._invalidate()
+            raise FileAccessError(f"can't open file {filename}") from e
+
+    def _read_next(self, rec: SequenceRecord) -> None:
+        while True:
+            line = self._file.readline()
+            if not line:
+                self._invalidate()
+                return
+            line = line.rstrip(b"\r\n")
+            if line.startswith((b">", b"@")):
+                rec.header = line[1:].decode(errors="replace")
+                return
+
+
 def make_sequence_reader(filename: str) -> SequenceReader:
     """Pick a reader by extension, else sniff the first byte
     (reference: sequence_io.cpp:206-241)."""

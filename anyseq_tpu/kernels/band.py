@@ -1427,7 +1427,7 @@ def _score_padded(q2, s2, m, n, mode: Mode, sc: LinearScoring,
     jax.jit,
     static_argnames=("mode", "sc", "emit_col", "interpret", "G",
                      "emit_preds", "collective_axis", "rw", "uu",
-                     "mesh_axes"),
+                     "mesh_axes", "collective_id"),
 )
 def _score_band_padded(q2, s2, row2, col2, corners, m, n, mode: Mode, sc,
                        emit_col: bool = True, interpret=False,
@@ -1435,7 +1435,8 @@ def _score_band_padded(q2, s2, row2, col2, corners, m, n, mode: Mode, sc,
                        rowf2=None, cole2=None,
                        collective_axis: str | None = None,
                        rw: int | None = None, uu: int | None = None,
-                       mesh_axes: tuple[str, ...] | None = None):
+                       mesh_axes: tuple[str, ...] | None = None,
+                       collective_id: int = 7):
     """Boundary-mode kernel call: relax a band of ``m`` query rows whose
     top row / left column state is given explicitly.
 
@@ -1538,7 +1539,7 @@ def _score_band_padded(q2, s2, row2, col2, corners, m, n, mode: Mode, sc,
                 pltpu.SemaphoreType.DMA(()),   # send E column
             ]
         kwargs["compiler_params"] = pltpu.CompilerParams(
-            has_side_effects=True, collective_id=7,
+            has_side_effects=True, collective_id=collective_id,
         )
     if interpret == "tpu":
         interpret = pltpu.InterpretParams()

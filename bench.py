@@ -53,6 +53,55 @@ REPS = int(os.environ.get("BENCH_REPS", 7))
 K = int(os.environ.get("BENCH_K", 8))
 
 
+def _parity_gate(q, s, sc):
+    """Real-hardware correctness gate, run BEFORE timing (VERDICT r4
+    item 6): the CPU suite pins every geometry bit-exact in interpret
+    mode, but only this run exercises the actual Mosaic compile of the
+    headline config. Checks the kernel against the portable XLA engine
+    at the headline geometry (full n, reduced m so the XLA row scan
+    stays cheap), plus one chained-band shape and one affine shape.
+    Returns True, or raises AssertionError with both values."""
+    import jax.numpy as jnp
+
+    from anyseq_tpu.core.types import AffineScoring, LinearScoring, Mode
+    from anyseq_tpu.engine import api, xla_affine, xla_linmem
+    from anyseq_tpu.kernels import band
+
+    def best3(outs):
+        return tuple(int(x) for x in np.asarray(outs["best"])[:3])
+
+    # 1) headline geometry (R=64/G=3/U=32 persistent windows) at full n;
+    # m tall enough that the persistent cross-epoch discipline engages.
+    mg, ng = 32768, MN
+    _, _, m1, n1, qp1, sp1 = api._prep(q[:mg], s[:ng])
+    k1 = best3(band.score_pair(qp1, sp1, m1, n1, Mode.LOCAL, sc,
+                               G=3, R=64, U=32, need_pos=True))
+    x1 = best3(xla_linmem.score_rows(qp1, sp1, m1, n1, Mode.LOCAL, sc))
+    assert k1 == x1, f"headline-geometry parity: kernel={k1} xla={x1}"
+
+    # 2) chained boundary-mode bands (the >M_MAX path, forced small).
+    mg2, ng2 = 8192, 16384
+    _, _, m2, n2, qp2, sp2 = api._prep(q[:mg2], s[:ng2])
+    k2 = band.score_pair_chained(qp2, sp2, m2, n2, Mode.GLOBAL, sc,
+                                 band_rows=4096)
+    kb2 = int(np.asarray(k2["last_row"])[n2 - 1])
+    x2 = int(np.asarray(xla_linmem.score_rows(
+        qp2, sp2, m2, n2, Mode.GLOBAL, sc)["last_row"])[n2 - 1])
+    assert kb2 == x2, f"chained-band parity: kernel={kb2} xla={x2}"
+
+    # 3) affine (Gotoh) local at its picked geometry.
+    sca = AffineScoring(2, -1, -3, -1)
+    mg3 = ng3 = 8192
+    _, _, m3, n3, qp3, sp3 = api._prep(q[:mg3], s[:ng3])
+    k3 = best3(band.score_pair(qp3, sp3, m3, n3, Mode.LOCAL, sca))
+    x3 = best3(xla_affine.score_rows_affine(
+        qp3, sp3, m3, n3, Mode.LOCAL, sca))
+    assert k3 == x3, f"affine parity: kernel={k3} xla={x3}"
+    print("# parity gate passed (headline geometry, chained bands, "
+          "affine)", file=sys.stderr)
+    return True
+
+
 def main():
     from anyseq_tpu.core.types import LinearScoring, Mode
     from anyseq_tpu.engine import api, xla_linmem
@@ -86,11 +135,13 @@ def main():
     import jax
 
     on_tpu = jax.devices()[0].platform != "cpu"
+    parity = None
     if on_tpu:
         try:
             impl = mk_pallas()
             np.asarray(impl())  # compile + smoke (fetch forces sync)
             engine = "pallas-wavefront"
+            parity = _parity_gate(q, s, sc)
         except Exception as e:  # pragma: no cover
             print(f"# pallas kernel unavailable ({e}); falling back",
                   file=sys.stderr)
@@ -120,6 +171,7 @@ def main():
         "metric": f"local SW score GCUPS ({MN}x{MN}, {engine})",
         "value": round(gcups, 3),
         "unit": "GCUPS",
+        "parity": parity,
         "vs_baseline": round(gcups / REFERENCE_PROXY_GCUPS, 3),
         "mfu_vs_vpu_sol": round(gcups / VPU_SOL_GCUPS, 3),
         "sol_analysis": {

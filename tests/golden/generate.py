@@ -36,6 +36,9 @@ CLASSES = [
     {"minlen": 1000, "maxlen": 1000, "npairs": 2},
     {"minlen": 1000, "maxlen": 10000, "npairs": 1},  # reference defaults
     {"minlen": 4000, "maxlen": 4000, "npairs": 1},
+    # >= 10k: the shape class where the TPU kernel's wide-window
+    # geometry picks engage (VERDICT r4 item 10).
+    {"minlen": 12000, "maxlen": 12000, "npairs": 1},
 ]
 MODES = ["global", "semiglobal", "local"]
 

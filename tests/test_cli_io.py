@@ -39,6 +39,28 @@ def test_fastq_reader(tmp_path):
     assert r.next().data == b"GGGG"
 
 
+def test_sequence_header_reader(tmp_path):
+    # Header-lines-only reader (reference sequence_io.h:115-143): scans
+    # to the next '>'/'@' line, returns its text, never reads data.
+    p = tmp_path / "x.fna"
+    p.write_bytes(b">r1 header one\nACGT\nACG\n>r2\nTTTT\n")
+    r = fasta.SequenceHeaderReader(str(p))
+    assert r.next().header == "r1 header one"
+    rec2 = r.next()
+    assert rec2.header == "r2"
+    assert rec2.data == b""
+    assert list(r) == []        # exhausted -> invalidated
+    assert not r.has_next()
+    # FASTQ markers count as headers too (the reference checks both).
+    p2 = tmp_path / "x.fastq"
+    p2.write_bytes(b"@r1\nACGT\n+\nIIII\n@r2\nGGGG\n+\nJJJJ\n")
+    r2 = fasta.SequenceHeaderReader(str(p2))
+    heads = [rec.header for rec in r2]
+    assert heads == ["r1", "r2"]
+    with pytest.raises(fasta.FileAccessError):
+        fasta.SequenceHeaderReader(str(tmp_path / "missing.fa"))
+
+
 def test_format_sniffing(tmp_path):
     p = tmp_path / "noext"
     p.write_bytes(b">x\nAC\n")
