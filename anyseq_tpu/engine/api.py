@@ -109,18 +109,14 @@ def align_full_tb(query, subject, mode="global", scoring=LinearScoring(),
             from anyseq_tpu.kernels import band
 
             if (band.available() or engine == "pallas") and band.supports(m):
-                # Kernel path: packed 4-bit affine pred emission (PH +
-                # PE/PF extend bits) + on-device 3-state walk -- only
-                # the O(m+n) strings leave the device.
+                # Kernel path, ONE dispatch: packed 4-bit affine pred
+                # emission (PH + PE/PF extend bits), on-device
+                # extraction, on-device 3-state walk -- only the
+                # O(m+n) strings leave the device.
                 from anyseq_tpu.engine import device_tb
 
-                outs = band.score_pair(qp, sp, m, n, mode, scoring,
-                                       emit_preds=True)
-                score, end = xla_linmem.extract_score_from_outputs(
-                    outs, m, n, mode, scoring
-                )
-                out_q, out_s, start = device_tb.walk_packed_affine(
-                    outs, qp, sp, m, n, end, mode
+                score, end, out_q, out_s, start = device_tb.fulltb_fused(
+                    qp, sp, m, n, mode, scoring
                 )
                 return Alignment(score, bytes(out_q), bytes(out_s), start)
         from anyseq_tpu.engine import xla_affine
@@ -145,18 +141,15 @@ def align_full_tb(query, subject, mode="global", scoring=LinearScoring(),
         from anyseq_tpu.kernels import band
 
         if (band.available() or engine == "pallas") and band.supports(m):
-            # Kernel path: packed 2-bit pred emission at wavefront speed
-            # + on-device walk -- only the O(m+n) strings leave the
-            # device (the O(m*n) pred matrix never does).
+            # Kernel path, ONE dispatch: packed 2-bit pred emission at
+            # wavefront speed, on-device extraction, on-device walk --
+            # only the O(m+n) strings leave the device (the O(m*n)
+            # pred matrix never does, and no intermediate fetch
+            # round-trips remain).
             from anyseq_tpu.engine import device_tb
 
-            outs = band.score_pair(qp, sp, m, n, mode, scoring,
-                                   emit_preds=True)
-            score, end = xla_linmem.extract_score_from_outputs(
-                outs, m, n, mode, scoring
-            )
-            out_q, out_s, start = device_tb.walk_packed(
-                outs, qp, sp, m, n, end, mode
+            score, end, out_q, out_s, start = device_tb.fulltb_fused(
+                qp, sp, m, n, mode, scoring
             )
             return Alignment(score, bytes(out_q), bytes(out_s), start)
     outs = xla_linmem.score_rows_with_preds(qp, sp, m, n, mode, scoring)

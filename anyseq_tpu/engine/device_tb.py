@@ -29,6 +29,7 @@ from anyseq_tpu.core.types import (
     PRED_GAP_S,
     PRED_NO_GAP,
     PRED_NONE,
+    SCORE_MIN,
     Mode,
 )
 from anyseq_tpu.kernels.band import W
@@ -88,6 +89,91 @@ def _walk(packed, q, s, end_i, end_j, mode: Mode, p_pl: int,
     )
     i, j, oq, os = jax.lax.while_loop(cond, body, init)
     return oq, os, i + 1, j + 1
+
+
+def _extract_traced(outs, m, n, M_pad, N_pad, mode: Mode):
+    """Traced mirror of xla_linmem.extract_score_from_outputs (same
+    candidate order and tie-breaking, boundary-wins-ties semiglobal)."""
+    if mode is Mode.GLOBAL:
+        lc = outs["last_col"]
+        return lc[m - 1], m - 1, n - 1
+    if mode is Mode.LOCAL:
+        b = outs["best"]
+        return b[0], b[1], b[2]
+    NEGS = jnp.int32(SCORE_MIN)
+    lrow = jnp.where(jnp.arange(N_pad) < n, outs["last_row"], NEGS)
+    lcol = jnp.where(jnp.arange(M_pad) < m, outs["last_col"], NEGS)
+    rmax = jnp.max(lrow)
+    rarg = jnp.argmax(lrow).astype(jnp.int32)
+    score = jnp.maximum(rmax, 0)
+    ej = jnp.where(0 >= rmax, jnp.int32(-1), rarg)
+    ei = jnp.int32(m - 1)
+    cmax = jnp.max(lcol)
+    carg = jnp.argmax(lcol).astype(jnp.int32)
+    cscore = jnp.maximum(cmax, 0)
+    ci = jnp.where(0 >= cmax, jnp.int32(-1), carg)
+    take = cscore > score
+    score = jnp.where(take, cscore, score)
+    ei = jnp.where(take, ci, ei)
+    ej = jnp.where(take, jnp.int32(n - 1), ej)
+    return score, ei, ej
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mode", "sc", "G", "out_len", "interpret"),
+)
+def _fulltb_fused(q2, s2, m, n, mode: Mode, sc, G, out_len: int,
+                  interpret: bool = False):
+    """Full-matrix traceback in ONE dispatch: pred-emitting wavefront
+    sweep, on-device score/end extraction, on-device packed walk. One
+    fetch returns everything (r4 ran these as 3+ dispatches with a
+    host fetch between each -- ~5 tunnel round trips of the 295 ms
+    'local fulltb 10k' suite row; reference runs score + host walk,
+    align.impala:190-216)."""
+    from anyseq_tpu.core.types import AffineScoring
+    from anyseq_tpu.kernels import band as _b
+
+    affine = isinstance(sc, AffineScoring)
+    emit_col = mode is not Mode.LOCAL
+    M_pad = q2.shape[0] * 128
+    N_pad = s2.shape[0] * 128
+    outs = _b._score_padded(q2, s2, m, n, mode, sc, emit_col=emit_col,
+                            G=G, emit_preds=True, interpret=interpret)
+    score, ei, ej = _extract_traced(outs, m, n, M_pad, N_pad, mode)
+    # static packed-plane count (mirror of _score_padded's p_pl)
+    p_pl = (M_pad + 2 * W) // (8 if affine else 16)
+    walk = _walk_affine if affine else _walk
+    oq, os, si, sj = walk(outs["packed_preds"], q2.reshape(-1),
+                          s2.reshape(-1), ei, ej, mode, p_pl, out_len)
+    return jnp.stack([score, ei, ej, si, sj]), oq, os
+
+
+def fulltb_fused(qp, sp, m, n, mode, sc, interpret=False):
+    """Host driver for :func:`_fulltb_fused`. Returns
+    (score, end, out_q, out_s, start) with one device round trip."""
+    from anyseq_tpu.core.types import AffineScoring
+    from anyseq_tpu.kernels import band as _b
+
+    mode = Mode.parse(mode)
+    m_i, n_i = int(m), int(n)
+    emit_col = mode is not Mode.LOCAL
+    G = _b._pick_g(m_i, n_i, emit_col,
+                   isinstance(sc, AffineScoring))
+    M_pad = _b._bucket(m_i, _b.W)
+    if M_pad - m_i < _b.LANES:
+        M_pad = _b._round_up(m_i + _b.LANES, _b.W)
+    N_pad = _b._round_up(_b._bucket(n_i, _b.W), G * _b.W)
+    q2 = _b._fit_padded(qp, M_pad, m_i, _b.PAD_Q)
+    s2 = _b._fit_padded(sp, N_pad, n_i, _b.PAD_S)
+    out_len = -(-(m_i + n_i + 1) // 256) * 256
+    vals, oq, os = jax.device_get(_fulltb_fused(
+        q2, s2, jnp.int32(m_i), jnp.int32(n_i), mode, sc, G, out_len,
+        interpret=interpret,
+    ))
+    score, ei, ej, si, sj = (int(x) for x in vals)
+    return (score, (ei, ej), np.asarray(oq)[: m_i + n_i],
+            np.asarray(os)[: m_i + n_i], (si, sj))
 
 
 def walk_packed(outs, qp, sp, m, n, end, mode):

@@ -96,6 +96,31 @@ def test_kernel_packed_preds_and_device_walk(mode, rng):
     assert start == exp_start
 
 
+@pytest.mark.parametrize("mode", [Mode.GLOBAL, Mode.SEMIGLOBAL, Mode.LOCAL])
+@pytest.mark.parametrize("affine", [False, True], ids=["lin", "aff"])
+def test_fulltb_fused_one_dispatch(mode, affine, rng):
+    """The single-dispatch fulltb path (sweep + extraction + walk in one
+    jit, engine/device_tb.fulltb_fused) reproduces the oracle exactly."""
+    from anyseq_tpu.engine import device_tb
+    from anyseq_tpu.ref import oracle, oracle_affine
+
+    sc = AffineScoring(2, -1, -3, -1) if affine else LIN
+    q = random_dna(rng, 150)
+    s = random_dna(rng, 1100)
+    _, _, m, n, qp, sp = api._prep(q, s)
+    score, end, oq, os, start = device_tb.fulltb_fused(
+        qp, sp, m, n, mode, sc, interpret=True)
+    if affine:
+        exp_score, exp_q, exp_s, exp_start = oracle_affine.align_affine(
+            q, s, mode, sc)
+    else:
+        exp_score, exp_q, exp_s, exp_start = oracle.align(q, s, mode, sc)
+    assert score == exp_score
+    assert bytes(oq) == bytes(exp_q)
+    assert bytes(os) == bytes(exp_s)
+    assert start == exp_start
+
+
 @pytest.mark.parametrize("mode", [Mode.GLOBAL, Mode.SEMIGLOBAL,
                                   Mode.LOCAL])
 def test_kernel_affine_packed_preds_and_walk(mode, rng):
