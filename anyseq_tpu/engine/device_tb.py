@@ -61,33 +61,37 @@ def _walk(packed, q, s, end_i, end_j, mode: Mode, p_pl: int,
             bdy = jnp.full((), PRED_NONE, jnp.int32)
         return jnp.where(jnp.logical_or(i < 0, j < 0), bdy, interior)
 
-    def cond(st):
-        i, j, _, _ = st
-        return code_at(i, j) != PRED_NONE
-
-    def body(st):
-        i, j, oq, os = st
+    def body(st, _):
+        # Minimal critical chain: ONE dependent word gather + a few
+        # scalar ops per step (the dependent-load latency ~1.5 us/step
+        # is the walk's true floor; symbol reads and select logic are
+        # re-derived vectorized after the scan).
+        i, j = st
         code = code_at(i, j)
-        pos = i + j + 1
+        live = code != PRED_NONE
         takes_q = jnp.logical_or(code == PRED_NO_GAP, code == PRED_GAP_S)
         takes_s = jnp.logical_or(code == PRED_NO_GAP, code == PRED_GAP_Q)
-        sym_q = jnp.where(
-            takes_q, q[jnp.maximum(i, 0)].astype(jnp.uint8), GAP_SYM
-        )
-        sym_s = jnp.where(
-            takes_s, s[jnp.maximum(j, 0)].astype(jnp.uint8), GAP_SYM
-        )
-        oq = oq.at[pos].set(sym_q)
-        os = os.at[pos].set(sym_s)
-        return (jnp.where(takes_q, i - 1, i),
-                jnp.where(takes_s, j - 1, j), oq, os)
+        i2 = i - jnp.logical_and(live, takes_q).astype(jnp.int32)
+        j2 = j - jnp.logical_and(live, takes_s).astype(jnp.int32)
+        return (i2, j2), (i, j, code)
 
-    init = (
-        end_i, end_j,
-        jnp.full((out_len,), EMPTY_SYM, jnp.uint8),
-        jnp.full((out_len,), EMPTY_SYM, jnp.uint8),
+    (i, j), (ib, jb, cb) = jax.lax.scan(
+        body, (end_i, end_j), None, length=out_len
     )
-    i, j, oq, os = jax.lax.while_loop(cond, body, init)
+    # vectorized reconstruction + ONE scatter per string (path
+    # positions strictly decrease, so updates never collide; dead
+    # steps park at the reserved slot out_len-1, reset after)
+    live = cb != PRED_NONE
+    takes_q = jnp.logical_or(cb == PRED_NO_GAP, cb == PRED_GAP_S)
+    takes_s = jnp.logical_or(cb == PRED_NO_GAP, cb == PRED_GAP_Q)
+    sym_q = jnp.where(takes_q, q[jnp.maximum(ib, 0)].astype(jnp.uint8),
+                      GAP_SYM)
+    sym_s = jnp.where(takes_s, s[jnp.maximum(jb, 0)].astype(jnp.uint8),
+                      GAP_SYM)
+    posb = jnp.where(live, ib + jb + 1, out_len - 1)
+    oq0 = jnp.full((out_len,), EMPTY_SYM, jnp.uint8)
+    oq = oq0.at[posb].set(sym_q).at[out_len - 1].set(EMPTY_SYM)
+    os = oq0.at[posb].set(sym_s).at[out_len - 1].set(EMPTY_SYM)
     return oq, os, i + 1, j + 1
 
 
@@ -227,19 +231,14 @@ def _walk_affine(packed, q, s, end_i, end_j, mode: Mode, p_pl: int,
                 jnp.where(off, pe_b, pe_i),
                 jnp.where(off, pf_b, pf_i))
 
-    def cond(st):
-        i, j, state, _, _ = st
-        ph, _, _ = fields(i, j)
+    def body(st, _):
+        # ONE dependent word gather + state update on the critical
+        # chain (see _walk); emission is re-derived vectorized after.
+        i, j, state = st
+        ph, pe, pf = fields(i, j)
         stop_h = jnp.logical_and(state == H_, ph == PRED_NONE)
         done = jnp.logical_and(i < 0, j < 0)
-        return jnp.logical_not(jnp.logical_or(stop_h, done))
-
-    def body(st):
-        i, j, state, oq, os = st
-        ph, pe, pf = fields(i, j)
-        pos = i + j + 1
-        qs = q[jnp.maximum(i, 0)].astype(jnp.uint8)
-        ss = s[jnp.maximum(j, 0)].astype(jnp.uint8)
+        live = jnp.logical_not(jnp.logical_or(stop_h, done))
 
         in_h = state == H_
         diag = jnp.logical_and(in_h, ph == PRED_NO_GAP)
@@ -247,16 +246,6 @@ def _walk_affine(packed, q, s, end_i, end_j, mode: Mode, p_pl: int,
         to_f = jnp.logical_and(in_h, ph == PRED_GAP_S)
         in_e = state == E_
         in_f = state == F_
-
-        emit = jnp.logical_or(diag, jnp.logical_or(in_e, in_f))
-        sym_q = jnp.where(diag, qs, jnp.where(in_f, qs, GAP_SYM))
-        sym_s = jnp.where(diag, ss, jnp.where(in_e, ss, GAP_SYM))
-        # Non-emitting steps (H -> E/F transitions) write to a reserved
-        # dummy slot (out_len-1, never part of the m+n output) so every
-        # iteration is a single scatter, not an O(out_len) select.
-        pos_w = jnp.where(emit, pos, out_len - 1)
-        oq = oq.at[pos_w].set(jnp.where(emit, sym_q, oq[out_len - 1]))
-        os = os.at[pos_w].set(jnp.where(emit, sym_s, os[out_len - 1]))
 
         di = jnp.where(jnp.logical_or(diag, in_f), 1, 0)
         dj = jnp.where(jnp.logical_or(diag, in_e), 1, 0)
@@ -269,14 +258,35 @@ def _walk_affine(packed, q, s, end_i, end_j, mode: Mode, p_pl: int,
                                     F_, H_)),
             ),
         )
-        return i - di, j - dj, new_state, oq, os
+        i2 = jnp.where(live, i - di, i)
+        j2 = jnp.where(live, j - dj, j)
+        state2 = jnp.where(live, new_state, state)
+        return (i2, j2, state2), (i, j, state, live, diag)
 
-    init = (
-        end_i, end_j, jnp.int32(H_),
-        jnp.full((out_len,), EMPTY_SYM, jnp.uint8),
-        jnp.full((out_len,), EMPTY_SYM, jnp.uint8),
+    # Length: <= out_len + 1 emitting steps (distinct positions), plus
+    # one non-emitting H -> E/F transition per gap run;
+    # all-singleton-run paths reach 2x, so 2 * out_len covers the
+    # worst case.
+    (i, j, _), (ib, jb, stb, liveb, diagb) = jax.lax.scan(
+        body, (end_i, end_j, jnp.int32(H_)), None,
+        length=2 * out_len,
     )
-    i, j, _, oq, os = jax.lax.while_loop(cond, body, init)
+    # vectorized reconstruction + ONE scatter per string; non-emitting
+    # steps (H -> E/F transitions, dead steps) park at the reserved
+    # slot out_len-1 (reset after)
+    in_e = stb == E_
+    in_f = stb == F_
+    emit = jnp.logical_and(liveb,
+                           jnp.logical_or(diagb,
+                                          jnp.logical_or(in_e, in_f)))
+    qs = q[jnp.maximum(ib, 0)].astype(jnp.uint8)
+    ss = s[jnp.maximum(jb, 0)].astype(jnp.uint8)
+    sym_q = jnp.where(diagb, qs, jnp.where(in_f, qs, GAP_SYM))
+    sym_s = jnp.where(diagb, ss, jnp.where(in_e, ss, GAP_SYM))
+    posb = jnp.where(emit, ib + jb + 1, out_len - 1)
+    oq0 = jnp.full((out_len,), EMPTY_SYM, jnp.uint8)
+    oq = oq0.at[posb].set(sym_q).at[out_len - 1].set(EMPTY_SYM)
+    os = oq0.at[posb].set(sym_s).at[out_len - 1].set(EMPTY_SYM)
     return oq, os, i + 1, j + 1
 
 
