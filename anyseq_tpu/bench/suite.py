@@ -209,7 +209,11 @@ def run(quick=False, out=sys.stdout):
         results.append(rec)
         print(json.dumps(rec), file=out, flush=True)
 
-    # config 4: many-pair batch
+    # config 4: many-pair batch -- end-to-end API wall time (includes
+    # host padding + the uint8 upload each call) and the
+    # device-resident kernel row (slope timing, same methodology as
+    # the score configs: on a tunneled TPU the upload alone is ~50 ms,
+    # which on production PCIe hosts is ~0.1 ms).
     npairs = 100 if quick else 2000
     plen = 256
     qs, ss = zip(*[_mkpair(rng, plen) for _ in range(npairs)])
@@ -219,11 +223,39 @@ def run(quick=False, out=sys.stdout):
     t0 = time.perf_counter()
     batch_eng.align_scores_batch(qs, ss, "local", sc)
     dt = min(dt, time.perf_counter() - t0)
-    emit(f"batch local {npairs}x{plen}bp", dt, npairs * plen * plen)
+    emit(f"batch local {npairs}x{plen}bp e2e", dt, npairs * plen * plen)
 
-    # config 4b: many-pair batched CONSTRUCTION (alignments, not scores)
+    if on_tpu:
+        import jax as _jax
+        import jax.numpy as jnp
+
+        from anyseq_tpu.core.types import Mode as _Mode
+        from anyseq_tpu.kernels import swarm as _swarm
+
+        qa = np.zeros((npairs, plen), np.uint8)
+        sa = np.zeros((npairs, plen), np.uint8)
+        for i, (a, b) in enumerate(zip(qs, ss)):
+            qa[i] = np.frombuffer(a, np.uint8)
+            sa[i] = np.frombuffer(b, np.uint8)
+        ms_ = np.full(npairs, plen, np.int64)
+        q3, s3, msp, nsp, sg, M, N, T = _swarm._pad_batch(
+            qa, sa, ms_, ms_)[:8]
+        dev = [jnp.asarray(x) for x in (q3, s3, msp, nsp, sg)]
+        _jax.block_until_ready(dev)
+
+        def f4():
+            return _swarm._swarm_scores_jit(
+                *dev, _Mode.LOCAL, sc, M, N, T)[0]
+
+        emit(f"batch local {npairs}x{plen}bp device-resident",
+             _time(f4), npairs * plen * plen)
+
+    # config 4b: many-pair batched CONSTRUCTION (alignments, not
+    # scores). On TPU this is ONE fused dispatch per shape bucket
+    # (swarm pred sweep + extraction + unpack + device walk,
+    # engine/batch._construct_swarm_fused) + one fetch.
     nc = 50 if quick else 500
-    emit(f"batch construct {nc}x{plen}bp",
+    emit(f"batch construct {nc}x{plen}bp (1 dispatch + 1 fetch)",
          _warm_time(lambda: batch_eng.align_batch(qs[:nc], ss[:nc],
                                                   "local", sc)),
          nc * plen * plen)

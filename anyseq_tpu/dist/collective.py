@@ -40,6 +40,8 @@ sequence sharding stay with dist/batch.py.
 """
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -154,131 +156,197 @@ def score_pair_collective(query, subject, mode, sc,
     MR = M_pad // band.LANES
 
     M_total = (num_bands - 1) * band_rows + M_pad
-    q = band._fit_padded(q8.astype(np.int32), M_total, m,
-                         band.PAD_Q).reshape(-1)
-    s = band._fit_padded(s8.astype(np.int32), N_pad, n,
-                         band.PAD_S).reshape(-1)
-    jarr = jnp.arange(N_pad, dtype=Score)
-    iarr = jnp.arange(M_pad, dtype=Score)
+
+    # Host-side numpy staging (eager jnp op chatter costs ~ms each over
+    # a tunneled dispatch path; numpy is sub-ms at genome scale).
+    def _np_pad(arr, size, true_len, fill):
+        out = np.full((size,), fill, np.int32)
+        k = min(len(arr), size, true_len)
+        out[:k] = np.asarray(arr)[:k]
+        return out
+
+    q = _np_pad(q8.astype(np.int32), M_total, m, band.PAD_Q)
+    s = _np_pad(s8.astype(np.int32), N_pad, n, band.PAD_S)
+    jarr = np.arange(N_pad, dtype=np.int64)
     if mode is Mode.GLOBAL and affine:
         row0 = (jarr + 1) * ge + (0 if start_gap else go)
     elif mode is Mode.GLOBAL:
         row0 = (jarr + 1) * sc.gap
     else:
-        row0 = jnp.zeros_like(jarr)
-    rowf0 = jnp.full((N_pad,), NEG, Score) if affine else None
+        row0 = np.zeros_like(jarr)
+    row0 = row0.astype(np.int32)
+    rowf0 = (np.full((N_pad,), NEG, np.int32) if affine else None)
 
     shard = NamedSharding(mesh, P(axis))
     s_sh = jax.device_put(s, shard)
     row0_sh = jax.device_put(row0, shard)
     rowf0_sh = jax.device_put(rowf0, shard) if affine else None
-    nw = Nl // W_
     coll_id = _collective_id_for(mesh)
+
+    outs = _collective_score_jit(
+        jnp.asarray(q), s_sh, row0_sh, rowf0_sh, jnp.int32(m),
+        jnp.int32(n), mode=mode, sc=sc, mesh=mesh, axis=axis,
+        G=G, RW=RW, UU=UU, num_bands=num_bands, band_rows=band_rows,
+        M_pad=M_pad, Nl=Nl, start_gap=start_gap, interpret=interpret,
+        coll_id=coll_id,
+    )
+    if affine:
+        row_out, rowf_out, ecol, ecole, best = outs
+        return {"last_row": row_out, "last_col": ecol, "best": best,
+                "last_col_e": ecole, "last_row_f": rowf_out}
+    row_out, ecol, best = outs
+    return {"last_row": row_out, "last_col": ecol, "best": best}
+
+
+def _stripe_bands(q_full, s_loc, row_loc, rowf_loc, m, n, k, *, mode,
+                  sc, axis, K, num_bands, band_rows, M_pad, Nl, G, RW,
+                  UU, start_gap, interpret, coll_id, mesh_axes=None):
+    """One chip's stripe of ONE pair: chain ``num_bands`` collective
+    band kernels (in-kernel ICI halo per band; the band corner rides a
+    scalar ppermute between bands). Shared by the 1-D single-pair and
+    2-D (dp x sp) batch runners -- ``m``/``n`` may be traced per-pair
+    values. Returns (row, rowf, ecol (M_total,), ecole, best)."""
+    affine = isinstance(sc, AffineScoring)
+    if affine:
+        go, ge = sc.gap_open, sc.gap_extend
+    W_ = RW * band.LANES
+    MR = M_pad // band.LANES
+    nw = Nl // W_
+    iarr = jnp.arange(M_pad, dtype=Score)
+    j0 = k * Nl
+    right = [(i, (i + 1) % K) for i in range(K)]
+
+    row = row_loc
+    rowf = rowf_loc
+    ecols = []
+    ecols_e = []
+    best_all = jnp.array([SCORE_MIN, -1, -1], Score)
+    corner_msg = jnp.int32(0)  # ppermuted band corner (b > 0)
+    for b in range(num_bands):
+        i0 = b * band_rows
+        h = jnp.minimum(jnp.int32(band_rows), m - i0)
+        q_band = jax.lax.dynamic_slice(
+            q_full, (i0,), (M_pad,)
+        ) if num_bands > 1 else q_full
+        # Band corner H[i0-1][j0-1]: closed form for band 0 and for
+        # chip 0 (its j0-1 = -1 boundary); otherwise the ppermuted
+        # bottom-row edge of the left neighbor's previous band.
+        if mode is Mode.GLOBAL and affine:
+            if start_gap:
+                # Myers-Miller continuing-run init: unreachable
+                # left column and corner.
+                corner0 = (jnp.int32(NEG) if b == 0 else
+                           jnp.where(k == 0, jnp.int32(NEG),
+                                     corner_msg))
+                col0 = jnp.full((M_pad,), NEG, Score)
+            else:
+                cf_corner = (
+                    jnp.where(j0 == 0, 0, go + j0 * ge).astype(Score)
+                    if b == 0 else jnp.int32(go + i0 * ge))
+                corner0 = (cf_corner if b == 0 else
+                           jnp.where(k == 0, cf_corner, corner_msg))
+                col0 = (go + (i0 + iarr + 1) * ge).astype(Score)
+            cole0 = jnp.full((M_pad,), NEG, Score)
+        elif mode is Mode.GLOBAL:
+            cf_corner = ((j0 * sc.gap).astype(Score) if b == 0
+                         else jnp.int32(i0 * sc.gap))
+            corner0 = (cf_corner if b == 0 else
+                       jnp.where(k == 0, cf_corner, corner_msg))
+            col0 = ((i0 + iarr + 1) * sc.gap).astype(Score)
+            cole0 = None
+        else:
+            corner0 = (jnp.int32(0) if b == 0 else
+                       jnp.where(k == 0, jnp.int32(0), corner_msg))
+            col0 = jnp.zeros((M_pad,), Score)
+            cole0 = (jnp.full((M_pad,), NEG, Score)
+                     if affine else None)
+        corners = band._band_corners(row, corner0, nw, w=W_)
+        n_loc = jnp.clip(n - j0, 0, Nl)
+
+        outs = band._score_band_padded(
+            q_band.reshape(MR, band.LANES),
+            s_loc.reshape(-1, band.LANES),
+            row.reshape(-1, band.LANES),
+            col0.reshape(-1, band.LANES),
+            corners, h, n_loc, mode, sc,
+            emit_col=True, interpret=interpret, G=G,
+            collective_axis=axis, rw=RW, uu=UU,
+            rowf2=(rowf.reshape(-1, band.LANES) if affine else None),
+            cole2=(cole0.reshape(-1, band.LANES) if affine else None),
+            collective_id=coll_id, mesh_axes=mesh_axes,
+        )
+        row = outs["last_row"][:Nl]
+        # static band_rows slices (h is traced); rows past m are
+        # zeroed below
+        if affine:
+            rowf = outs["last_row_f"][:Nl]
+            ecols_e.append(outs["last_col_e"][:band_rows])
+        ecols.append(outs["last_col"][:band_rows])
+        if mode is Mode.LOCAL:
+            bb = outs["best"]
+            valid = bb[0] > SCORE_MIN
+            bb = jnp.where(
+                valid,
+                jnp.stack([bb[0], bb[1] + i0, bb[2] + j0]),
+                jnp.array([SCORE_MIN, -1, -1], Score),
+            )
+            better = jnp.logical_or(
+                bb[0] > best_all[0],
+                jnp.logical_and(
+                    bb[0] == best_all[0],
+                    jnp.logical_or(
+                        bb[1] < best_all[1],
+                        jnp.logical_and(bb[1] == best_all[1],
+                                        bb[2] < best_all[2]),
+                    ),
+                ),
+            )
+            best_all = jnp.where(better, bb, best_all)
+        if b + 1 < num_bands:
+            # Next band's corner: left neighbor's bottom-row edge.
+            corner_msg = jax.lax.ppermute(row[Nl - 1], axis, right)
+
+    def _cat(parts):
+        col = jnp.concatenate(parts) if num_bands > 1 else parts[0]
+        # zero the last band's tail (rows >= m are kernel garbage)
+        return jnp.where(jnp.arange(col.shape[0]) < m, col, 0)
+
+    ecol = _cat(ecols)
+    ecole = _cat(ecols_e) if affine else None
+    return row, rowf, ecol, ecole, best_all
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mode", "sc", "mesh", "axis", "G", "RW", "UU",
+                     "num_bands", "band_rows", "M_pad", "Nl",
+                     "start_gap", "interpret", "coll_id"),
+)
+def _collective_score_jit(q_arr, s_sh, row0_sh, rowf0_sh, m, n, *,
+                          mode, sc, mesh, axis, G, RW, UU, num_bands,
+                          band_rows, M_pad, Nl, start_gap, interpret,
+                          coll_id):
+    """Traced-once collective runner (a per-call ``jit(shard_map(...))``
+    closure retraced the whole kernel program every call: ~500 ms of
+    host work per score at the 100k shape -- the r4 'collective loses
+    its own K=1 benchmark' finding)."""
+    affine = isinstance(sc, AffineScoring)
+    K = mesh.shape[axis]
 
     def run(q_full, s_loc, row_loc, rowf_loc=None):
         k = jax.lax.axis_index(axis)
         j0 = k * Nl
-        right = [(i, (i + 1) % K) for i in range(K)]
-
-        row = row_loc
-        rowf = rowf_loc
-        ecols = []
-        ecols_e = []
-        best_all = jnp.array([SCORE_MIN, -1, -1], Score)
-        corner_msg = jnp.int32(0)  # ppermuted band corner (b > 0)
-        for b in range(num_bands):
-            i0 = b * band_rows
-            h = min(band_rows, m - i0)
-            q_band = jax.lax.dynamic_slice(
-                q_full, (i0,), (M_pad,)
-            ) if num_bands > 1 else q_full
-            # Band corner H[i0-1][j0-1]: closed form for band 0 and for
-            # chip 0 (its j0-1 = -1 boundary); otherwise the ppermuted
-            # bottom-row edge of the left neighbor's previous band.
-            if mode is Mode.GLOBAL and affine:
-                if start_gap:
-                    # Myers-Miller continuing-run init: unreachable
-                    # left column and corner.
-                    corner0 = (jnp.int32(NEG) if b == 0 else
-                               jnp.where(k == 0, jnp.int32(NEG),
-                                         corner_msg))
-                    col0 = jnp.full((M_pad,), NEG, Score)
-                else:
-                    cf_corner = (
-                        jnp.where(j0 == 0, 0, go + j0 * ge).astype(Score)
-                        if b == 0 else jnp.int32(go + i0 * ge))
-                    corner0 = (cf_corner if b == 0 else
-                               jnp.where(k == 0, cf_corner, corner_msg))
-                    col0 = (go + (i0 + iarr + 1) * ge).astype(Score)
-                cole0 = jnp.full((M_pad,), NEG, Score)
-            elif mode is Mode.GLOBAL:
-                cf_corner = (jnp.int32(j0 * sc.gap) if b == 0
-                             else jnp.int32(i0 * sc.gap))
-                corner0 = (cf_corner if b == 0 else
-                           jnp.where(k == 0, cf_corner, corner_msg))
-                col0 = ((i0 + iarr + 1) * sc.gap).astype(Score)
-                cole0 = None
-            else:
-                corner0 = (jnp.int32(0) if b == 0 else
-                           jnp.where(k == 0, jnp.int32(0), corner_msg))
-                col0 = jnp.zeros((M_pad,), Score)
-                cole0 = (jnp.full((M_pad,), NEG, Score)
-                         if affine else None)
-            corners = band._band_corners(row, corner0, nw, w=W_)
-            n_loc = jnp.clip(n - j0, 0, Nl)
-
-            outs = band._score_band_padded(
-                q_band.reshape(MR, band.LANES),
-                s_loc.reshape(-1, band.LANES),
-                row.reshape(-1, band.LANES),
-                col0.reshape(-1, band.LANES),
-                corners, jnp.int32(h), n_loc, mode, sc,
-                emit_col=True, interpret=interpret, G=G,
-                collective_axis=axis, rw=RW, uu=UU,
-                rowf2=(rowf.reshape(-1, band.LANES) if affine else None),
-                cole2=(cole0.reshape(-1, band.LANES) if affine else None),
-                collective_id=coll_id,
-            )
-            row = outs["last_row"][:Nl]
-            if affine:
-                rowf = outs["last_row_f"][:Nl]
-                ecols_e.append(outs["last_col_e"][:h])
-            ecols.append(outs["last_col"][:h])
-            if mode is Mode.LOCAL:
-                bb = outs["best"]
-                valid = bb[0] > SCORE_MIN
-                bb = jnp.where(
-                    valid,
-                    jnp.stack([bb[0], bb[1] + i0, bb[2] + j0]),
-                    jnp.array([SCORE_MIN, -1, -1], Score),
-                )
-                better = jnp.logical_or(
-                    bb[0] > best_all[0],
-                    jnp.logical_and(
-                        bb[0] == best_all[0],
-                        jnp.logical_or(
-                            bb[1] < best_all[1],
-                            jnp.logical_and(bb[1] == best_all[1],
-                                            bb[2] < best_all[2]),
-                        ),
-                    ),
-                )
-                best_all = jnp.where(better, bb, best_all)
-            if b + 1 < num_bands:
-                # Next band's corner: left neighbor's bottom-row edge.
-                corner_msg = jax.lax.ppermute(row[Nl - 1], axis, right)
-
+        row, rowf, ecol, ecole, best = _stripe_bands(
+            q_full, s_loc, row_loc, rowf_loc, m, n, k, mode=mode,
+            sc=sc, axis=axis, K=K, num_bands=num_bands,
+            band_rows=band_rows, M_pad=M_pad, Nl=Nl, G=G, RW=RW,
+            UU=UU, start_gap=start_gap, interpret=interpret,
+            coll_id=coll_id,
+        )
         owns = jnp.logical_and(j0 <= n - 1, n - 1 < j0 + Nl)
-
-        def _gather_col(parts):
-            col = jnp.concatenate(parts) if num_bands > 1 else parts[0]
-            col = jnp.pad(col, (0, M_total - col.shape[0]))
-            return jax.lax.psum(jnp.where(owns, col, 0), axis)
-
-        ecol_all = _gather_col(ecols)
-        ecole_all = _gather_col(ecols_e) if affine else None
-
-        best = best_all
+        ecol_all = jax.lax.psum(jnp.where(owns, ecol, 0), axis)
+        ecole_all = (jax.lax.psum(jnp.where(owns, ecole, 0), axis)
+                     if affine else None)
         if mode is Mode.LOCAL:
             from anyseq_tpu.dist.mesh import lex_best_merge
 
@@ -287,35 +355,36 @@ def score_pair_collective(query, subject, mode, sc,
             return row, rowf, ecol_all, ecole_all, best
         return row, ecol_all, best
 
-    # jit the whole shard_map: eager shard_map dispatches each inner
-    # primitive separately, and under the TPU interpreter the store
-    # callbacks of one device can then block on async values of another
-    # (observed deadlock for LOCAL's post-kernel all_gather/merge).
+    # The whole shard_map lives inside this module-level jit: eager
+    # shard_map dispatches each inner primitive separately (and under
+    # the TPU interpreter one device's store callbacks can then block
+    # on async values of another -- observed deadlock for LOCAL's
+    # post-kernel all_gather/merge).
     if affine:
-        row_out, rowf_out, ecol, ecole, best = jax.jit(jax.shard_map(
+        return jax.shard_map(
             run,
             mesh=mesh,
             in_specs=(P(), P(axis), P(axis), P(axis)),
             out_specs=(P(axis), P(axis), P(), P(), P()),
             check_vma=False,
-        ))(q, s_sh, row0_sh, rowf0_sh)
-        return {"last_row": row_out, "last_col": ecol, "best": best,
-                "last_col_e": ecole, "last_row_f": rowf_out}
+        )(q_arr, s_sh, row0_sh, rowf0_sh)
 
-    row_out, ecol, best = jax.jit(jax.shard_map(
-        run,
+    def run2(q_full, s_loc, row_loc):
+        return run(q_full, s_loc, row_loc)
+
+    return jax.shard_map(
+        run2,
         mesh=mesh,
         in_specs=(P(), P(axis), P(axis)),
         out_specs=(P(axis), P(), P()),
         check_vma=False,
-    ))(q, s_sh, row0_sh)
-
-    return {"last_row": row_out, "last_col": ecol, "best": best}
+    )(q_arr, s_sh, row0_sh)
 
 
 def score_pairs_collective(queries, subjects, mode, sc, mesh: Mesh,
                            axis_sp: str = "sp", axis_dp: str = "dp",
-                           interpret=False, G: int | None = None):
+                           interpret=False, G: int | None = None,
+                           band_rows: int | None = None):
     """A BATCH of pairs on a 2-D (dp x sp) mesh: pairs distribute over
     ``axis_dp``, each pair's subject shards over ``axis_sp`` with the
     in-kernel halo-exchange stripe kernel (the RDMA device_id carries
@@ -332,10 +401,10 @@ def score_pairs_collective(queries, subjects, mode, sc, mesh: Mesh,
     from anyseq_tpu.engine.xla_linmem import extract_score_from_outputs
 
     mode = Mode.parse(mode)
-    if not isinstance(sc, LinearScoring):
+    affine = isinstance(sc, AffineScoring)
+    if not isinstance(sc, (LinearScoring, AffineScoring)):
         raise NotImplementedError(
-            "score_pairs_collective: linear scoring (affine pairs route "
-            "through score_pair_collective per pair)")
+            "score_pairs_collective: linear/affine scoring")
     if set(mesh.axis_names) != {axis_sp, axis_dp}:
         raise ValueError(
             f"needs a 2-D mesh over ({axis_dp!r}, {axis_sp!r})")
@@ -350,29 +419,39 @@ def score_pairs_collective(queries, subjects, mode, sc, mesh: Mesh,
     K = mesh.shape[axis_sp]
     m_max = max(len(a) for a in qs)
     n_max = max(len(b) for b in ss)
-    if m_max > band.M_MAX:
-        raise ValueError(
-            f"score_pairs_collective supports m <= {band.M_MAX}")
-    g = sc.gap
+    g = sc.gap_extend if affine else sc.gap
+
+    # Heights above M_MAX chain band kernels per pair (same band
+    # structure as the single-pair path). ``band_rows`` forces
+    # chaining (testing).
+    if band_rows is None:
+        band_rows = m_max if m_max <= band.M_MAX else band.M_BAND
 
     if G is None and not interpret:
         G, RW, UU = band._pick_geometry(
-            m_max, _round_up(max(n_max, 1), band.W * K) // K,
-            emit_col=True, affine=False)
+            min(m_max, band_rows),
+            _round_up(max(n_max, 1), band.W * K) // K,
+            emit_col=True, affine=affine)
     else:
         G = G or 1
         RW, UU = band.R_DEFAULT, None
     W_ = RW * band.LANES
-    M_pad = band._bucket(m_max, W_)
-    if M_pad - m_max < band.LANES:
-        M_pad = _round_up(m_max + band.LANES, W_)
+    if band_rows >= m_max:
+        M_pad = band._bucket(m_max, W_)
+        if M_pad - m_max < band.LANES:
+            M_pad = _round_up(m_max + band.LANES, W_)
+        band_rows = M_pad
+        num_bands = 1
+    else:
+        band_rows = _round_up(band_rows, band.LANES)
+        M_pad = band_rows
+        num_bands = -(-m_max // band_rows)
+    M_total = (num_bands - 1) * band_rows + M_pad
     Nl = _round_up(max(n_max, 1), W_ * G * K) // K
     N_pad = Nl * K
-    MR = M_pad // band.LANES
-    nw = Nl // W_
 
     Bp = -(-B // DP) * DP
-    qarr = np.full((Bp, M_pad), band.PAD_Q, np.int32)
+    qarr = np.full((Bp, M_total), band.PAD_Q, np.int32)
     sarr = np.full((Bp, N_pad), band.PAD_S, np.int32)
     ms = np.ones(Bp, np.int32)
     ns = np.ones(Bp, np.int32)
@@ -381,75 +460,31 @@ def score_pairs_collective(queries, subjects, mode, sc, mesh: Mesh,
         sarr[b, : len(ss[b])] = ss[b]
         ms[b] = len(qs[b])
         ns[b] = len(ss[b])
-    jarr = jnp.arange(N_pad, dtype=Score)
-    iarr = jnp.arange(M_pad, dtype=Score)
-    if mode is Mode.GLOBAL:
-        row0 = ((jarr + 1) * g)[None, :].repeat(Bp, 0)
+    jarr = np.arange(N_pad, dtype=np.int64)
+    if mode is Mode.GLOBAL and affine:
+        row0 = ((jarr + 1) * g + sc.gap_open).astype(np.int32)
+    elif mode is Mode.GLOBAL:
+        row0 = ((jarr + 1) * g).astype(np.int32)
     else:
-        row0 = jnp.zeros((Bp, N_pad), Score)
+        row0 = np.zeros((N_pad,), np.int32)
+    row0 = np.broadcast_to(row0, (Bp, N_pad)).copy()
+    rowf0 = (np.full((Bp, N_pad), NEG, np.int32) if affine else None)
 
     coll_id = _collective_id_for(mesh)
-    Pdp = P(axis_dp)
     Pds = P(axis_dp, axis_sp)
     s_sh = jax.device_put(jnp.asarray(sarr),
                           NamedSharding(mesh, Pds))
     row0_sh = jax.device_put(row0, NamedSharding(mesh, Pds))
-    mesh_axes = tuple(mesh.axis_names)
+    rowf0_sh = (jax.device_put(rowf0, NamedSharding(mesh, Pds))
+                if affine else None)
 
-    def run(q_loc, s_loc, row_loc, ms_loc, ns_loc):
-        k = jax.lax.axis_index(axis_sp)
-        j0 = k * Nl
-        Bl = q_loc.shape[0]
-        rows, ecols, bests = [], [], []
-        for b in range(Bl):
-            mb = ms_loc[b]
-            nb = ns_loc[b]
-            if mode is Mode.GLOBAL:
-                corner0 = (j0 * g).astype(Score) if isinstance(
-                    j0, jnp.ndarray) else jnp.int32(j0 * g)
-                col0 = ((iarr + 1) * g).astype(Score)
-            else:
-                corner0 = jnp.int32(0)
-                col0 = jnp.zeros((M_pad,), Score)
-            corners = band._band_corners(row_loc[b], corner0, nw, w=W_)
-            n_loc = jnp.clip(nb - j0, 0, Nl)
-            outs = band._score_band_padded(
-                q_loc[b].reshape(MR, band.LANES),
-                s_loc[b].reshape(-1, band.LANES),
-                row_loc[b].reshape(-1, band.LANES),
-                col0.reshape(-1, band.LANES),
-                corners, mb, n_loc, mode, sc,
-                emit_col=True, interpret=interpret, G=G,
-                collective_axis=axis_sp, rw=RW, uu=UU,
-                mesh_axes=mesh_axes, collective_id=coll_id,
-            )
-            rows.append(outs["last_row"][:Nl])
-            ecol = outs["last_col"][:M_pad]
-            owns = jnp.logical_and(j0 <= nb - 1, nb - 1 < j0 + Nl)
-            ecol = jnp.where(owns, ecol, 0)
-            ecols.append(jax.lax.psum(ecol, axis_sp))
-            if mode is Mode.LOCAL:
-                from anyseq_tpu.dist.mesh import lex_best_merge
-
-                bb = outs["best"]
-                bb = jnp.where(
-                    bb[0] > SCORE_MIN,
-                    jnp.stack([bb[0], bb[1], bb[2] + j0]),
-                    jnp.array([SCORE_MIN, -1, -1], Score),
-                )
-                bests.append(lex_best_merge(bb, axis_sp, K))
-            else:
-                bests.append(jnp.array([SCORE_MIN, -1, -1], Score))
-        return (jnp.stack(rows), jnp.stack(ecols), jnp.stack(bests))
-
-    rows, ecols, bests = jax.jit(jax.shard_map(
-        run,
-        mesh=mesh,
-        in_specs=(Pdp, Pds, Pds, Pdp, Pdp),
-        out_specs=(Pds, Pdp, Pdp),
-        check_vma=False,
-    ))(jnp.asarray(qarr), s_sh, row0_sh, jnp.asarray(ms),
-       jnp.asarray(ns))
+    rows, ecols, bests = _collective_pairs_jit(
+        jnp.asarray(qarr), s_sh, row0_sh, rowf0_sh, jnp.asarray(ms),
+        jnp.asarray(ns), mode=mode, sc=sc, mesh=mesh,
+        axis_sp=axis_sp, axis_dp=axis_dp, G=G, RW=RW, UU=UU,
+        M_pad=M_pad, Nl=Nl, num_bands=num_bands, band_rows=band_rows,
+        interpret=interpret, coll_id=coll_id,
+    )
 
     from anyseq_tpu.dist.batch import fetch
 
@@ -463,3 +498,73 @@ def score_pairs_collective(queries, subjects, mode, sc, mesh: Mesh,
         results.append(extract_score_from_outputs(
             outs, int(ms[b]), int(ns[b]), mode, sc))
     return results
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mode", "sc", "mesh", "axis_sp", "axis_dp", "G",
+                     "RW", "UU", "M_pad", "Nl", "num_bands",
+                     "band_rows", "interpret", "coll_id"),
+)
+def _collective_pairs_jit(qarr, s_sh, row0_sh, rowf0_sh, ms_arr,
+                          ns_arr, *, mode, sc, mesh, axis_sp, axis_dp,
+                          G, RW, UU, M_pad, Nl, num_bands, band_rows,
+                          interpret, coll_id):
+    """Traced-once 2-D (dp x sp) collective runner (see
+    :func:`_collective_score_jit` for why the per-call closure jit had
+    to go). Linear AND affine scoring; heights above M_MAX chain band
+    kernels per pair through :func:`_stripe_bands`."""
+    affine = isinstance(sc, AffineScoring)
+    K = mesh.shape[axis_sp]
+    mesh_axes = tuple(mesh.axis_names)
+    Pdp = P(axis_dp)
+    Pds = P(axis_dp, axis_sp)
+
+    def run(q_loc, s_loc, row_loc, rowf_loc, ms_loc, ns_loc):
+        k = jax.lax.axis_index(axis_sp)
+        j0 = k * Nl
+        Bl = q_loc.shape[0]
+        rows, ecols, bests = [], [], []
+        for b in range(Bl):
+            mb = ms_loc[b]
+            nb = ns_loc[b]
+            row, rowf, ecol, ecole, best = _stripe_bands(
+                q_loc[b], s_loc[b], row_loc[b],
+                rowf_loc[b] if affine else None, mb, nb, k,
+                mode=mode, sc=sc, axis=axis_sp, K=K,
+                num_bands=num_bands, band_rows=band_rows, M_pad=M_pad,
+                Nl=Nl, G=G, RW=RW, UU=UU, start_gap=False,
+                interpret=interpret, coll_id=coll_id,
+                mesh_axes=mesh_axes,
+            )
+            rows.append(row)
+            owns = jnp.logical_and(j0 <= nb - 1, nb - 1 < j0 + Nl)
+            ecols.append(jax.lax.psum(jnp.where(owns, ecol, 0),
+                                      axis_sp))
+            if mode is Mode.LOCAL:
+                from anyseq_tpu.dist.mesh import lex_best_merge
+
+                bests.append(lex_best_merge(best, axis_sp, K))
+            else:
+                bests.append(jnp.array([SCORE_MIN, -1, -1], Score))
+        return (jnp.stack(rows), jnp.stack(ecols), jnp.stack(bests))
+
+    if not affine:
+        def run_lin(q_loc, s_loc, row_loc, ms_loc, ns_loc):
+            return run(q_loc, s_loc, row_loc, None, ms_loc, ns_loc)
+
+        return jax.shard_map(
+            run_lin,
+            mesh=mesh,
+            in_specs=(Pdp, Pds, Pds, Pdp, Pdp),
+            out_specs=(Pds, Pdp, Pdp),
+            check_vma=False,
+        )(qarr, s_sh, row0_sh, ms_arr, ns_arr)
+
+    return jax.shard_map(
+        run,
+        mesh=mesh,
+        in_specs=(Pdp, Pds, Pds, Pds, Pdp, Pdp),
+        out_specs=(Pds, Pdp, Pdp),
+        check_vma=False,
+    )(qarr, s_sh, row0_sh, rowf0_sh, ms_arr, ns_arr)

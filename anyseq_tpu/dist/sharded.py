@@ -424,18 +424,27 @@ def score_pair_sharded(query, subject, mode, sc, mesh: Mesh,
         from anyseq_tpu.dist import collective as _coll
         from anyseq_tpu.kernels import band as _band
 
-        if _coll.supports(mesh, axis, sc) and (
+        run_mesh = mesh
+        if not _coll.supports(mesh, axis, sc) and len(mesh.axis_names) > 1:
+            # A single pair has nothing for the other axes to do:
+            # flatten the whole mesh into one sp ring (every device
+            # becomes a stripe of this pair). Batches of pairs keep
+            # their 2-D (dp x sp) shape via score_pairs_collective.
+            run_mesh = Mesh(
+                np.asarray(mesh.devices).reshape(-1), (axis,)
+            )
+        if _coll.supports(run_mesh, axis, sc) and (
             engine in ("collective", "collective-interpret")
             or _band.available()
         ):
             return _coll.score_pair_collective(
-                q8, s8, mode, sc, mesh, axis=axis,
+                q8, s8, mode, sc, run_mesh, axis=axis,
                 interpret="tpu" if engine == "collective-interpret"
                 else False, start_gap=start_gap,
             )
         if engine != "auto":
             raise ValueError(
-                "collective engine requires a 1-D mesh over axis "
+                "collective engine requires a mesh containing axis "
                 f"{axis!r}"
             )
     if engine == "auto":

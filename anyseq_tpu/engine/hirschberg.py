@@ -393,10 +393,17 @@ def _hb_global(q8, s8, off_i, off_j, out_q, out_s, scoring, engine,
                 and P <= KERNEL_MAX_PARTS
                 and min(mids) >= KERNEL_MIN_MID):
             # Genome-scale shallow levels (halves taller than the VMEM
-            # column cap): per-half dispatch -- band.score_pair chains
-            # boundary-mode band sweeps transparently
-            # (score_pair_chained). Levels that fit M_MAX instead run
-            # as ONE batched launch below (dispatch-minimal).
+            # column cap): per-half dispatch. The merge needs each
+            # half's boundary COLUMN H[i][w-1] -- which is the bottom
+            # ROW of the TRANSPOSED half (GLOBAL linear DP is
+            # transpose-symmetric), and row collection is an in-place
+            # masked select while column collection pays the rotating
+            # ecol machinery (~111 vs ~180 Gcells/s measured). So swap
+            # (q, s) whenever the half's width fits the column scratch
+            # as the transposed HEIGHT; band.score_pair then also runs
+            # CLOSED-FORM persistent (no band chaining) since
+            # mid <= M_MAX. Falls back to the direct orientation
+            # (chained bands, last_col) otherwise.
             cols_dev = []
             for p, (qlo, qhi, slo, shi) in enumerate(parts):
                 h, mid = hs[p], mids[p]
@@ -404,12 +411,24 @@ def _hb_global(q8, s8, off_i, off_j, out_q, out_s, scoring, engine,
                     (q32[qlo:qhi], s32[slo:slo + mid]),
                     (q32[qlo:qhi][::-1], s32[slo + mid:shi][::-1]),
                 ):
-                    outs = band.score_pair(
-                        jnp.asarray(np.ascontiguousarray(qa)),
-                        jnp.asarray(np.ascontiguousarray(sa)),
-                        len(qa), len(sa), Mode.GLOBAL, scoring,
-                    )
-                    cols_dev.append(outs["last_col"])
+                    transpose = (len(sa) <= band.M_MAX
+                                 and not isinstance(scoring,
+                                                    AffineScoring))
+                    if transpose:
+                        outs = band.score_pair(
+                            jnp.asarray(np.ascontiguousarray(sa)),
+                            jnp.asarray(np.ascontiguousarray(qa)),
+                            len(sa), len(qa), Mode.GLOBAL, scoring,
+                            emit_col=False,
+                        )
+                        cols_dev.append(outs["last_row"])
+                    else:
+                        outs = band.score_pair(
+                            jnp.asarray(np.ascontiguousarray(qa)),
+                            jnp.asarray(np.ascontiguousarray(sa)),
+                            len(qa), len(sa), Mode.GLOBAL, scoring,
+                        )
+                        cols_dev.append(outs["last_col"])
             # one fetch for the whole level (async dispatches pipeline;
             # per-array np.asarray would pay a tunnel round trip each)
             import jax as _jax

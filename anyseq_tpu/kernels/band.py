@@ -167,7 +167,8 @@ def _make_kernel(mode: Mode, sc, emit_col: bool, G: int,
                  batched: bool = False, persistent: int = 0,
                  need_pos: bool = True, slotted: dict | None = None,
                  rw: int | None = None, uu: int | None = None,
-                 mesh_axes: tuple[str, ...] | None = None):
+                 mesh_axes: tuple[str, ...] | None = None,
+                 nwin: int = 0):
     """Build the wavefront kernel body.
 
     ``boundary=False``: closed-form DP boundary (the top row / left column
@@ -279,11 +280,10 @@ def _make_kernel(mode: Mode, sc, emit_col: bool, G: int,
         )
     if slotted is not None and (
         boundary or batched or collective_axis or emit_preds or local
-        or persistent or not emit_col
+        or persistent
     ):
         raise NotImplementedError(
-            "slotted mode: closed-form GLOBAL/SEMIGLOBAL emit_col "
-            "batches only"
+            "slotted mode: closed-form GLOBAL/SEMIGLOBAL batches only"
         )
 
     def _topval(j, sgd):
@@ -511,7 +511,10 @@ def _make_kernel(mode: Mode, sc, emit_col: bool, G: int,
             # One extra block so the last chain's final epoch-wrap
             # retire (checked at block START) fires inside the loop.
             T_total = persistent * T + (G - 1) * S + U
-            NWIN = persistent * G          # total windows (static)
+            # Total windows: any whole-window count (the final epoch
+            # may run dead ghost chains -- their retires/flushes are
+            # guarded below), so N_pad need not round to G*W.
+            NWIN = nwin or persistent * G
             s_syms = j0s = edges = is_edge = emask = None
         else:
             T_total = T + (G - 1) * S
@@ -739,7 +742,10 @@ def _make_kernel(mode: Mode, sc, emit_col: bool, G: int,
                     t0_prev = cst.pop("_t0")
                     epoch = cst.pop("_epoch")
                     wrap = t0_prev == T
-                    retire = jnp.logical_and(wrap, epoch < persistent)
+                    # the retiring window is the PRE-increment one; a
+                    # ghost chain (window index >= NWIN) never retires
+                    retire = jnp.logical_and(wrap,
+                                             epoch * G + g < NWIN)
                     if local:
                         @pl.when(retire)
                         def _(cst=cst, epoch=epoch, g=g):
@@ -754,7 +760,7 @@ def _make_kernel(mode: Mode, sc, emit_col: bool, G: int,
                     t0 = jnp.where(wrap, 0, t0_prev)
                     epochs_out[g] = epoch
                     t0s[g] = t0
-                    lives[g] = epoch < persistent
+                    lives[g] = epoch * G + g < NWIN
                     wgc = jnp.minimum(epoch * G + g, NWIN - 1)
                     j0d[g] = wgc * W
                     s_blk[g] = s_ref[pl.ds(wgc * R, R), :]
@@ -1348,9 +1354,14 @@ def _score_padded(q2, s2, m, n, mode: Mode, sc: LinearScoring,
     spw = 8 if affine else 16
     p_pl = (M_pad + 2 * W) // spw
 
+    # Persistent mode runs ANY whole-window count (ghost chains in the
+    # final epoch); N_pad need only be a W multiple, cutting the
+    # round-to-G*W padding (~23% at the 100k headline shape).
+    epochs = -(-num_windows // G)
     kernel = _make_kernel(mode, sc, emit_col, G, emit_preds, p_pl,
                           start_gap=start_gap,
-                          persistent=num_groups if persistent else 0,
+                          persistent=epochs if persistent else 0,
+                          nwin=num_windows if persistent else 0,
                           need_pos=need_pos, rw=R, uu=uu)
     dims = jnp.stack([m, n]).astype(jnp.int32)
 
@@ -1661,12 +1672,12 @@ def _score_batched_padded(q3, s3, dims, mode: Mode, sc, G: int, GP: int,
 
 @functools.partial(
     jax.jit, static_argnames=("mode", "sc", "G", "NW", "PPE", "EPP",
-                              "interpret", "rw", "uu")
+                              "interpret", "rw", "uu", "emit_col")
 )
 def _score_slotted_padded(q3, s3, dims, col_init, cole_init, mode: Mode,
                           sc, G: int, NW: int, PPE: int, EPP: int,
                           interpret=False, rw: int | None = None,
-                          uu: int | None = None):
+                          uu: int | None = None, emit_col: bool = True):
     """Many independent problems in ONE launch with chains assigned to
     (problem, window) SLOTS -- the deep-Hirschberg-level engine.
 
@@ -1694,7 +1705,7 @@ def _score_slotted_padded(q3, s3, dims, col_init, cole_init, mode: Mode,
     stage_rows = (_round_up(M_pad + 2 * W, W) // W) * R
 
     kernel = _make_kernel(
-        mode, sc, emit_col=True, G=G,
+        mode, sc, emit_col=emit_col, G=G,
         slotted=dict(B=B, NW=NW, MRb=MRb, SRp=stage_rows,
                      PPE=PPE, EPP=EPP),
         rw=R, uu=uu,
@@ -1704,7 +1715,7 @@ def _score_slotted_padded(q3, s3, dims, col_init, cole_init, mode: Mode,
         jax.ShapeDtypeStruct((B * NW * R, LANES), Score),   # last_rows
         jax.ShapeDtypeStruct((B * stage_rows, LANES), Score),
     ]
-    if affine:
+    if affine and emit_col:
         out_shape.append(
             jax.ShapeDtypeStruct((B * stage_rows, LANES), Score)
         )
@@ -1740,27 +1751,27 @@ def _score_slotted_padded(q3, s3, dims, col_init, cole_init, mode: Mode,
     )(*inputs))
     row_out = outs.pop(0)
     ecol_stage = outs.pop(0).reshape(B, stage_rows, LANES)
-    ns = dims[:, 1]
-    unrot = jax.vmap(
-        lambda st, n_: _unrotate_ecol(st, MRb, jnp.int32(0), n_, w=W)
-    )
-    res = {
-        "last_rows": row_out.reshape(B, NW * R * LANES),
-        "last_cols": unrot(ecol_stage, ns),              # (B, M_pad)
-    }
-    if affine:
-        ecole_stage = outs.pop(0).reshape(B, stage_rows, LANES)
-        res["last_cols_e"] = unrot(ecole_stage, ns)
+    res = {"last_rows": row_out.reshape(B, NW * R * LANES)}
+    if emit_col:
+        ns = dims[:, 1]
+        unrot = jax.vmap(
+            lambda st, n_: _unrotate_ecol(st, MRb, jnp.int32(0), n_,
+                                          w=W)
+        )
+        res["last_cols"] = unrot(ecol_stage, ns)         # (B, M_pad)
+        if affine:
+            ecole_stage = outs.pop(0).reshape(B, stage_rows, LANES)
+            res["last_cols_e"] = unrot(ecole_stage, ns)
     return res
 
 
 @functools.partial(
     jax.jit, static_argnames=("sc", "G", "NW", "PPE", "EPP", "Mb", "Nb",
-                              "interpret", "rw", "uu")
+                              "interpret", "rw", "uu", "transposed")
 )
 def _score_level_padded(q_dev, s_dev, parts, sc, G, NW, PPE, EPP, Mb,
                         Nb, interpret=False, rw: int | None = None,
-                        uu: int | None = None):
+                        uu: int | None = None, transposed: bool = False):
     """One whole Hirschberg divide level ON DEVICE: build the 2P
     half-problems by gather from the resident sequences, run the
     slotted wavefront kernel, and do the hb_sum argmax merge
@@ -1772,6 +1783,15 @@ def _score_level_padded(q_dev, s_dev, parts, sc, G, NW, PPE, EPP, Mb,
     q_dev/s_dev: (m,)/(n,) int32 resident sequences; parts: (P, 4)
     int32 [qlo, qhi, slo, shi]. Linear GLOBAL scoring only (the
     Myers-Miller affine level loop keeps its own path).
+
+    ``transposed``: sweep each half with query and subject SWAPPED --
+    the merge needs boundary COLUMNS, which are the bottom ROWS of the
+    transposed halves (GLOBAL linear DP is transpose-symmetric), and
+    row collection is an in-place masked select while columns pay the
+    rotating ecol collector (~111 vs ~180 Gcells/s). ``Mb`` then
+    buckets the half WIDTHS (the transposed heights) and ``Nb`` the
+    part heights.
+
     Returns (k, score): per-part split row (in [-1, h-1], ties ->
     smallest) and merged score."""
     P = parts.shape[0]
@@ -1785,33 +1805,63 @@ def _score_level_padded(q_dev, s_dev, parts, sc, G, NW, PPE, EPP, Mb,
     g = sc.gap
 
     ii = jnp.arange(Mb, dtype=jnp.int32)
-    qmax = q_dev.shape[0] - 1
-    qf = jnp.where(
-        ii[None, :] < hs[:, None],
-        q_dev[jnp.clip(qlo[:, None] + ii[None, :], 0, qmax)], PAD_Q
-    )
-    qr = jnp.where(
-        ii[None, :] < hs[:, None],
-        q_dev[jnp.clip(qhi[:, None] - 1 - ii[None, :], 0, qmax)], PAD_Q
-    )
-    q3 = jnp.stack([qf, qr], 1).reshape(B, Mb)
     jj = jnp.arange(Nb, dtype=jnp.int32)
+    qmax = q_dev.shape[0] - 1
     smax = s_dev.shape[0] - 1
-    sf = jnp.where(
-        jj[None, :] < mids[:, None],
-        s_dev[jnp.clip(slo[:, None] + jj[None, :], 0, smax)], PAD_S
-    )
-    sr = jnp.where(
-        jj[None, :] < rws[:, None],
-        s_dev[jnp.clip(shi[:, None] - 1 - jj[None, :], 0, smax)], PAD_S
-    )
-    s3 = jnp.stack([sf, sr], 1).reshape(B, Nb)
+    if transposed:
+        # queries of the swept problems = subject halves (heights
+        # mids/rws), subjects = query halves (widths hs)
+        sf = jnp.where(
+            ii[None, :] < mids[:, None],
+            s_dev[jnp.clip(slo[:, None] + ii[None, :], 0, smax)], PAD_Q
+        )
+        sr = jnp.where(
+            ii[None, :] < rws[:, None],
+            s_dev[jnp.clip(shi[:, None] - 1 - ii[None, :], 0, smax)],
+            PAD_Q
+        )
+        q3 = jnp.stack([sf, sr], 1).reshape(B, Mb)
+        qf = jnp.where(
+            jj[None, :] < hs[:, None],
+            q_dev[jnp.clip(qlo[:, None] + jj[None, :], 0, qmax)], PAD_S
+        )
+        qr = jnp.where(
+            jj[None, :] < hs[:, None],
+            q_dev[jnp.clip(qhi[:, None] - 1 - jj[None, :], 0, qmax)],
+            PAD_S
+        )
+        s3 = jnp.stack([qf, qr], 1).reshape(B, Nb)
+        ms2 = jnp.stack([mids, rws], 1).reshape(B).astype(jnp.int32)
+        ns2 = jnp.stack([hs, hs], 1).reshape(B).astype(jnp.int32)
+        max_m = jnp.maximum(jnp.max(mids), jnp.max(rws))
+    else:
+        qf = jnp.where(
+            ii[None, :] < hs[:, None],
+            q_dev[jnp.clip(qlo[:, None] + ii[None, :], 0, qmax)], PAD_Q
+        )
+        qr = jnp.where(
+            ii[None, :] < hs[:, None],
+            q_dev[jnp.clip(qhi[:, None] - 1 - ii[None, :], 0, qmax)],
+            PAD_Q
+        )
+        q3 = jnp.stack([qf, qr], 1).reshape(B, Mb)
+        sf = jnp.where(
+            jj[None, :] < mids[:, None],
+            s_dev[jnp.clip(slo[:, None] + jj[None, :], 0, smax)], PAD_S
+        )
+        sr = jnp.where(
+            jj[None, :] < rws[:, None],
+            s_dev[jnp.clip(shi[:, None] - 1 - jj[None, :], 0, smax)],
+            PAD_S
+        )
+        s3 = jnp.stack([sf, sr], 1).reshape(B, Nb)
+        ms2 = jnp.stack([hs, hs], 1).reshape(B).astype(jnp.int32)
+        ns2 = jnp.stack([mids, rws], 1).reshape(B).astype(jnp.int32)
+        max_m = jnp.max(hs)
 
-    ms2 = jnp.stack([hs, hs], 1).reshape(B).astype(jnp.int32)
-    ns2 = jnp.stack([mids, rws], 1).reshape(B).astype(jnp.int32)
     dims = jnp.stack(
         [ms2, ns2, jnp.zeros_like(ms2),
-         jnp.full_like(ms2, jnp.max(hs).astype(jnp.int32))], 1
+         jnp.full_like(ms2, max_m.astype(jnp.int32))], 1
     )
     ci = jnp.where(
         ii[None, :] < ms2[:, None], (ii[None, :] + 1) * g, NEG
@@ -1821,16 +1871,22 @@ def _score_level_padded(q_dev, s_dev, parts, sc, G, NW, PPE, EPP, Mb,
         q3.reshape(-1, LANES), s3.reshape(-1, LANES), dims,
         ci.reshape(-1, LANES), None, Mode.GLOBAL, sc,
         G, NW, PPE, EPP, interpret=interpret, rw=rw, uu=uu,
+        emit_col=not transposed,
     )
-    cols = res["last_cols"]                     # (B, Mb)
-    L, Rv = cols[0::2], cols[1::2]              # (P, Mb)
+    if transposed:
+        cols = res["last_rows"]                 # (B, >= Nb): columns
+        CL = cols.shape[1]
+    else:
+        cols = res["last_cols"]                 # (B, Mb)
+        CL = Mb
+    L, Rv = cols[0::2], cols[1::2]              # (P, CL)
 
     # hb_sum: F(j) over j in [0, h], j = k + 1 (edges = all-gap halves).
-    jm = jnp.arange(Mb + 1, dtype=jnp.int32)
+    jm = jnp.arange(CL + 1, dtype=jnp.int32)
     h_ = hs[:, None]
-    l_at = jnp.take_along_axis(L, jnp.clip(jm[None, :] - 1, 0, Mb - 1), 1)
+    l_at = jnp.take_along_axis(L, jnp.clip(jm[None, :] - 1, 0, CL - 1), 1)
     r_at = jnp.take_along_axis(
-        Rv, jnp.clip(h_ - 1 - jm[None, :], 0, Mb - 1), 1
+        Rv, jnp.clip(h_ - 1 - jm[None, :], 0, CL - 1), 1
     )
     l_last = jnp.take_along_axis(L, h_ - 1, 1)
     r_last = jnp.take_along_axis(Rv, h_ - 1, 1)
@@ -1845,10 +1901,10 @@ def _score_level_padded(q_dev, s_dev, parts, sc, G, NW, PPE, EPP, Mb,
 
 @functools.partial(
     jax.jit, static_argnames=("sc", "plans", "Mb", "Nb", "interpret",
-                              "rw", "depth")
+                              "rw", "depth", "transposed")
 )
 def _score_levels_fused(q_dev, s_dev, parts, sc, plans, Mb, Nb, depth,
-                        interpret=False, rw=None):
+                        interpret=False, rw=None, transposed=False):
     """``depth`` consecutive divide levels in ONE dispatch: sweep the
     level, build the children parts ON DEVICE from the split rows, and
     sweep again -- sub-level d returns (2^d * P,) arrays in child order
@@ -1864,7 +1920,7 @@ def _score_levels_fused(q_dev, s_dev, parts, sc, plans, Mb, Nb, depth,
         G, NW, PPE, EPP = plans[d]
         k, s = _score_level_padded(q_dev, s_dev, cur, sc, G, NW, PPE,
                                    EPP, Mb, Nb, interpret=interpret,
-                                   rw=rw)
+                                   rw=rw, transposed=transposed)
         ks_out.append(k)
         sc_out.append(s)
         if d + 1 < depth:
@@ -1883,17 +1939,24 @@ def _score_levels_fused(q_dev, s_dev, parts, sc, plans, Mb, Nb, depth,
 
 
 def score_levels_fused(q_dev, s_dev, parts_np, sc, depth=2,
-                       interpret=False, rw: int | None = None):
+                       interpret=False, rw: int | None = None,
+                       transposed: bool = True):
     """Host driver for :func:`_score_levels_fused`. Returns a list of
     (ks, scores) numpy pairs, one per sub-level (sub-level d has
     2^d * P rows in device child order), or None when the shape is
     ineligible (bucket too tall, multi-window slot clock, or VMEM
-    chunking would be needed -- the single-level path handles those)."""
+    chunking would be needed -- the single-level path handles those).
+    ``transposed``: query/subject-swapped sweeps (see
+    _score_level_padded), the default and faster orientation."""
     hs = parts_np[:, 1] - parts_np[:, 0]
     wd = parts_np[:, 3] - parts_np[:, 2]
     mids = wd // 2
-    m_max = int(hs.max())
-    n_max = int(max(mids.max(), (wd - mids).max()))
+    if transposed:
+        m_max = int(max(mids.max(), (wd - mids).max()))
+        n_max = int(hs.max())
+    else:
+        m_max = int(hs.max())
+        n_max = int(max(mids.max(), (wd - mids).max()))
     B_last = 2 * len(parts_np) * (2 ** (depth - 1))
     rws = ([rw] if rw is not None
            else ([16, 8] if (not interpret and n_max >= 4096
@@ -1928,6 +1991,7 @@ def score_levels_fused(q_dev, s_dev, parts_np, sc, depth=2,
     ks, scs = _score_levels_fused(
         q_dev, s_dev, jnp.asarray(parts_np.astype(np.int32)), sc,
         plans, Mb, Nb, depth, interpret=interpret, rw=rw,
+        transposed=transposed,
     )
     ks = jax.device_get(ks)
     scs = jax.device_get(scs)
@@ -2068,17 +2132,24 @@ def _score_top_levels_jit(q_dev, s_dev, m, n, sc, geo1a, geo1b, geo2,
 
 
 def score_level_parts(q_dev, s_dev, parts_np, sc, interpret=False,
-                      rw: int | None = None):
+                      rw: int | None = None, transposed: bool = True):
     """Host driver for _score_level_padded: bucket, plan, chunk against
     the scoped-VMEM window. Returns (ks, scores) numpy arrays, or None
     if the level shape is ineligible for the slotted kernel. ``rw``
-    overrides the window-height pick (tests)."""
+    overrides the window-height pick (tests); ``transposed`` sweeps the
+    halves query/subject-swapped (columns read off as bottom rows, see
+    _score_level_padded -- the default and faster orientation)."""
     hs = parts_np[:, 1] - parts_np[:, 0]
     wd = parts_np[:, 3] - parts_np[:, 2]
     mids = wd // 2
     rws = wd - mids
-    m_max = int(hs.max())
-    n_max = int(max(mids.max(), rws.max()))
+    rw_arg = rw
+    if transposed:
+        m_max = int(max(mids.max(), rws.max()))
+        n_max = int(hs.max())
+    else:
+        m_max = int(hs.max())
+        n_max = int(max(mids.max(), rws.max()))
     # Window height for the level: wide shallow levels (few big halves)
     # stream ~2-3x faster at tall windows (see _pick_geometry); deep
     # levels (many short halves) keep R=8 so the slot pool stays full.
@@ -2097,6 +2168,12 @@ def score_level_parts(q_dev, s_dev, parts_np, sc, interpret=False,
     if Mb - m_max < LANES:
         Mb = _round_up(m_max + LANES, w)
     if Mb > M_MAX:
+        if transposed:
+            # extreme aspect ratio (half width above the column-scratch
+            # cap): the direct orientation may still fit
+            return score_level_parts(q_dev, s_dev, parts_np, sc,
+                                     interpret=interpret, rw=rw_arg,
+                                     transposed=False)
         return None
     Nb = _bucket(n_max, w)
     per_prob = ((Mb // LANES) * 3 + (Nb // w) * rw * 2
@@ -2105,7 +2182,11 @@ def score_level_parts(q_dev, s_dev, parts_np, sc, interpret=False,
     ks, scores = [], []
     for lo in range(0, len(parts_np), chunk_p):
         ch = parts_np[lo: lo + chunk_p]
-        ms2 = np.repeat(ch[:, 1] - ch[:, 0], 2)
+        if transposed:
+            w_ch = ch[:, 3] - ch[:, 2]
+            ms2 = np.stack([w_ch // 2, w_ch - w_ch // 2], 1).reshape(-1)
+        else:
+            ms2 = np.repeat(ch[:, 1] - ch[:, 0], 2)
         plan = _slotted_plan(2 * len(ch), Mb, Nb, ms2, g_cap=g_cap, w=w)
         if plan is None and rw != R_DEFAULT:
             # wide-window slot clock infeasible (short sweep): retry at
@@ -2124,6 +2205,7 @@ def score_level_parts(q_dev, s_dev, parts_np, sc, interpret=False,
             q_dev, s_dev, jnp.asarray(ch.astype(np.int32)), sc,
             G, NW, PPE, EPP, Mb, Nb, interpret=interpret, rw=rw,
             uu=32 if (rw >= 16 and not interpret) else None,
+            transposed=transposed,
         )
         ks.append(k)
         scores.append(s)
@@ -2510,17 +2592,22 @@ def _pick_geometry(m: int, n: int, emit_col: bool, affine: bool):
         nw = _bucket(n, w) // w
         if g > nw:
             g = nw
-        n_pad = _round_up(_bucket(n, w), g * w)
         T = 128 * nrm + w + (w if emit_col else 0)
         s_ = w + LANES
         # per-step wall time at this geometry ~ g*w/e (cells per
         # full-width step over padded throughput); sweep = T steps per
-        # window group; fill = (g-1)*s_ idle-ish steps, paid once in
-        # persistent mode, per group otherwise.
-        pers_ok = (n_pad // (g * w) > 1
-                   and (g - 1) * s_ + w + 254 <= T)
-        groups = n_pad // (g * w)
-        fill_groups = 1 if pers_ok else groups
+        # window group / epoch; fill = (g-1)*s_ idle-ish steps, paid
+        # once in persistent mode, per group otherwise. Persistent mode
+        # pads n only to whole windows (ghost chains absorb the ragged
+        # final epoch); grid mode pads to whole G*W groups.
+        nwin_p = _round_up(_bucket(n, LANES), w) // w
+        pers_ok = (nwin_p > g and (g - 1) * s_ + w + 254 <= T)
+        if pers_ok:
+            groups = -(-nwin_p // g)
+            fill_groups = 1
+        else:
+            groups = _round_up(_bucket(n, w), g * w) // (g * w)
+            fill_groups = groups
         cost = (groups * T + fill_groups * (g - 1) * s_) * (g * w) / e
         if best is None or cost < best[0]:
             best = (cost, g, rw, uu)
@@ -2580,13 +2667,6 @@ def score_pair(qp, sp, m, n, mode: Mode, sc,
         # clamped chunk row must read only pad symbols past the sweep
         # end (the mask-free fast paths rely on it).
         M_pad = _round_up(m_i + LANES, W)
-    N_pad = _round_up(_bucket(n_i, W), G * W)
-
-    # Out-of-range pads beyond the TRUE lengths (the incoming arrays may
-    # carry byte-range pads from the API layer): pad never matches any
-    # input byte, which the mask-free fast paths rely on.
-    q2 = _fit_padded(qp, M_pad, m_i, PAD_Q)
-    s2 = _fit_padded(sp, N_pad, n_i, PAD_S)
 
     if persistent is None:
         # Persistent chains pay the (G-1)*STAGGER pipeline fill ONCE per
@@ -2597,9 +2677,21 @@ def score_pair(qp, sp, m, n, mode: Mode, sc,
         T_est = 128 * (-(-m_i // 128)) + W + (W if emit_col else 0)
         persistent = (
             not emit_preds
-            and N_pad // (G * W) > 1
+            and _round_up(_bucket(n_i, LANES), W) // W > G
             and (G - 1) * STAGGER + W + 254 <= T_est
         )
+    if persistent:
+        # Any whole-window count (ghost chains absorb the remainder):
+        # fine-grained bucketing instead of rounding to G*W groups.
+        N_pad = _round_up(_bucket(n_i, LANES), W)
+    else:
+        N_pad = _round_up(_bucket(n_i, W), G * W)
+
+    # Out-of-range pads beyond the TRUE lengths (the incoming arrays may
+    # carry byte-range pads from the API layer): pad never matches any
+    # input byte, which the mask-free fast paths rely on.
+    q2 = _fit_padded(qp, M_pad, m_i, PAD_Q)
+    s2 = _fit_padded(sp, N_pad, n_i, PAD_S)
 
     return _score_padded(q2, s2, jnp.int32(m_i), jnp.int32(n_i),
                          mode, sc, emit_col, interpret, G,

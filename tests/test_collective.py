@@ -68,7 +68,8 @@ def test_collective_chained_bands(rng, mode):
 
 def test_collective_is_default_engine_routing():
     """score_pair_sharded routes engine='collective-interpret' through
-    the collective kernel and rejects it cleanly on 2-D meshes."""
+    the collective kernel; a multi-axis mesh is flattened into one sp
+    ring for the single pair (r4 item 9: route, don't raise)."""
     import jax
     from jax.sharding import Mesh as _Mesh
 
@@ -83,9 +84,11 @@ def test_collective_is_default_engine_routing():
 
     mesh2d = _Mesh(np.array(jax.devices()[:2]).reshape(1, 2),
                    ("dp", "sp"))
-    with pytest.raises(ValueError, match="1-D"):
-        score_pair_sharded(q, s, Mode.GLOBAL, LIN, mesh2d,
-                           engine="collective-interpret")
+    outs2 = score_pair_sharded(q, s, Mode.GLOBAL, LIN, mesh2d,
+                               engine="collective-interpret")
+    got2, _ = extract_score_from_outputs(outs2, 130, 600, Mode.GLOBAL,
+                                         LIN)
+    assert got2 == got
 
 
 def test_collective_matches_superstep_path(rng):
@@ -124,3 +127,21 @@ def test_collective_2d_mesh_batch(rng, mode):
     for b in range(3):
         assert res[b][0] == oracle_score(qs[b], ss[b], mode, LIN), (
             mode, b)
+
+
+def test_collective_2d_mesh_batch_chained(rng):
+    """2-D (dp x sp) batch with CHAINED band kernels per pair (heights
+    above band_rows; r4 item 9: the 2-D engine was single-band)."""
+    from anyseq_tpu.dist.collective import score_pairs_collective
+    from anyseq_tpu.ref.oracle import align_score as oracle_score
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 devices")
+    qs = [bytes(_seqs(rng, 300, 1)[0]), bytes(_seqs(rng, 450, 1)[0])]
+    ss = [bytes(_seqs(rng, 1, 500)[1]), bytes(_seqs(rng, 1, 650)[1])]
+    mesh = Mesh(np.array(jax.devices()[:4]).reshape(2, 2), ("dp", "sp"))
+    res = score_pairs_collective(qs, ss, Mode.GLOBAL, LIN, mesh,
+                                 interpret="tpu", band_rows=128)
+    for b in range(2):
+        assert res[b][0] == oracle_score(qs[b], ss[b], Mode.GLOBAL,
+                                         LIN), b

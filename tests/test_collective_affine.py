@@ -92,3 +92,23 @@ def test_collective_affine_start_gap(rng):
                                   np.asarray(ref["last_row"])[:n])
     np.testing.assert_array_equal(np.asarray(outs["last_col"])[:m],
                                   np.asarray(ref["last_col"])[:m])
+
+
+def test_collective_affine_2d_mesh_batch(rng):
+    """Affine (Gotoh) pairs on the 2-D (dp x sp) collective batch
+    engine (r4 item 9: the 2-D engine was linear-only)."""
+    from anyseq_tpu.core.types import AffineScoring
+    from anyseq_tpu.dist.collective import score_pairs_collective
+    from anyseq_tpu.ref.oracle_affine import align_score_affine
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 devices")
+    AFF = AffineScoring(2, -1, -3, -1)
+    qs = [bytes(_seqs(rng, 220, 1)[0]), bytes(_seqs(rng, 150, 1)[0])]
+    ss = [bytes(_seqs(rng, 1, 500)[1]), bytes(_seqs(rng, 1, 400)[1])]
+    mesh = Mesh(np.array(jax.devices()[:4]).reshape(2, 2), ("dp", "sp"))
+    res = score_pairs_collective(qs, ss, Mode.GLOBAL, AFF, mesh,
+                                 interpret="tpu")
+    for b in range(2):
+        assert res[b][0] == align_score_affine(qs[b], ss[b],
+                                               Mode.GLOBAL, AFF), b

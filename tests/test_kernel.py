@@ -96,6 +96,23 @@ def test_kernel_packed_preds_and_device_walk(mode, rng):
     assert start == exp_start
 
 
+def test_kernel_global_row_only_ragged_persistent(rng):
+    """GLOBAL closed-form sweep with emit_col=False (the transposed
+    construction halves read columns off as bottom rows), in PERSISTENT
+    mode with a window count NOT divisible by G (ragged final epoch:
+    ghost chains must not retire or flush)."""
+    # 5.5 windows at R=8 -> NWIN=6 with G=4: ragged final epoch; m tall
+    # enough for the persistent cross-epoch column discipline
+    m, n, qp, sp = _prep(rng, 3800, 5 * 1024 + 640)
+    ref = xla_linmem.score_rows(qp, sp, m, n, Mode.GLOBAL, LIN)
+    outs = band.score_pair(qp, sp, m, n, Mode.GLOBAL, LIN,
+                           interpret=True, G=4, emit_col=False,
+                           persistent=True)
+    np.testing.assert_array_equal(
+        np.asarray(outs["last_row"])[:n], np.asarray(ref["last_row"])[:n]
+    )
+
+
 @pytest.mark.parametrize("mode", [Mode.GLOBAL, Mode.SEMIGLOBAL, Mode.LOCAL])
 @pytest.mark.parametrize("affine", [False, True], ids=["lin", "aff"])
 def test_fulltb_fused_one_dispatch(mode, affine, rng):

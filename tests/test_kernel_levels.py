@@ -35,6 +35,15 @@ def test_kernel_device_level_step(rng):
             np.asarray(parts, np.int64), LIN, interpret=True,
         )
         assert got is not None
+        # direct (untransposed) orientation stays bit-identical
+        got_d = band.score_level_parts(
+            jnp.asarray(q32), jnp.asarray(s32),
+            np.asarray(parts, np.int64), LIN, interpret=True,
+            transposed=False,
+        )
+        assert got_d is not None
+        np.testing.assert_array_equal(got[0], got_d[0])
+        np.testing.assert_array_equal(got[1], got_d[1])
         ks, scs = got
         for p, (qlo, qhi, slo, shi) in enumerate(parts):
             h, w = qhi - qlo, shi - slo
