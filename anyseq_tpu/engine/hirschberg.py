@@ -321,7 +321,8 @@ def _hb_global(q8, s8, off_i, off_j, out_q, out_s, scoring, engine,
         mids = [(p[3] - p[2]) // 2 for p in parts]
 
         if (use_kernel and mesh is None and P == 1
-                and parts[0] == (0, m, 0, n) and m <= band.M_MAX
+                and parts[0] == (0, m, 0, n)
+                and (n + 1) // 2 <= band.M_MAX
                 and not isinstance(scoring, AffineScoring)):
             # Root levels P=1 and P=2 in ONE dispatch: the halves run
             # the full single-pair wide-window geometry (persistent
@@ -389,44 +390,53 @@ def _hb_global(q8, s8, off_i, off_j, out_q, out_s, scoring, engine,
             _save_level()
             continue
 
-        if (mesh is None and use_kernel and max(hs) > band.M_MAX
-                and P <= KERNEL_MAX_PARTS
-                and min(mids) >= KERNEL_MIN_MID):
-            # Genome-scale shallow levels (halves taller than the VMEM
-            # column cap): per-half dispatch. The merge needs each
-            # half's boundary COLUMN H[i][w-1] -- which is the bottom
-            # ROW of the TRANSPOSED half (GLOBAL linear DP is
-            # transpose-symmetric), and row collection is an in-place
-            # masked select while column collection pays the rotating
-            # ecol machinery (~111 vs ~180 Gcells/s measured). So swap
-            # (q, s) whenever the half's width fits the column scratch
-            # as the transposed HEIGHT; band.score_pair then also runs
-            # CLOSED-FORM persistent (no band chaining) since
+        per_half_ok = (
+            mesh is None and use_kernel
+            and P <= KERNEL_MAX_PARTS
+            and min(mids) >= KERNEL_MIN_MID
+            and (max(hs) > band.M_MAX
+                 # wide sub-M_MAX levels: closed-form persistent
+                 # transposed per-half sweeps beat the slotted level
+                 # kernel's EPP clock (~174 vs ~150 Gcells/s measured
+                 # at 1 Mbp), and the per-half dispatch overhead is
+                 # negligible at these sizes
+                 or (min(mids) >= 32768
+                     and not isinstance(scoring, AffineScoring)))
+        )
+        if per_half_ok:
+            # Genome-scale shallow levels: per-half dispatch. The merge
+            # needs each half's boundary COLUMN H[i][w-1] -- which is
+            # the bottom ROW of the TRANSPOSED half (GLOBAL linear DP
+            # is transpose-symmetric), and row collection is an
+            # in-place masked select while column collection pays the
+            # rotating ecol machinery (~111 vs ~180 Gcells/s measured).
+            # So swap (q, s) whenever the half's width fits the column
+            # scratch as the transposed HEIGHT; band.score_pair then
+            # also runs CLOSED-FORM persistent (no band chaining) when
             # mid <= M_MAX. Falls back to the direct orientation
-            # (chained bands, last_col) otherwise.
+            # (chained bands, last_col) otherwise. All slices come off
+            # the device-resident sequences (no per-level upload).
             cols_dev = []
             for p, (qlo, qhi, slo, shi) in enumerate(parts):
                 h, mid = hs[p], mids[p]
                 for qa, sa in (
-                    (q32[qlo:qhi], s32[slo:slo + mid]),
-                    (q32[qlo:qhi][::-1], s32[slo + mid:shi][::-1]),
+                    (qdev[qlo:qhi], sdev[slo:slo + mid]),
+                    (jnp.flip(qdev[qlo:qhi]),
+                     jnp.flip(sdev[slo + mid:shi])),
                 ):
-                    transpose = (len(sa) <= band.M_MAX
+                    transpose = (int(sa.shape[0]) <= band.M_MAX
                                  and not isinstance(scoring,
                                                     AffineScoring))
                     if transpose:
                         outs = band.score_pair(
-                            jnp.asarray(np.ascontiguousarray(sa)),
-                            jnp.asarray(np.ascontiguousarray(qa)),
-                            len(sa), len(qa), Mode.GLOBAL, scoring,
-                            emit_col=False,
+                            sa, qa, int(sa.shape[0]), int(qa.shape[0]),
+                            Mode.GLOBAL, scoring, emit_col=False,
                         )
                         cols_dev.append(outs["last_row"])
                     else:
                         outs = band.score_pair(
-                            jnp.asarray(np.ascontiguousarray(qa)),
-                            jnp.asarray(np.ascontiguousarray(sa)),
-                            len(qa), len(sa), Mode.GLOBAL, scoring,
+                            qa, sa, int(qa.shape[0]), int(sa.shape[0]),
+                            Mode.GLOBAL, scoring,
                         )
                         cols_dev.append(outs["last_col"])
             # one fetch for the whole level (async dispatches pipeline;

@@ -2017,38 +2017,41 @@ def score_top_levels_fused(q_dev, s_dev, m, n, sc, interpret=False):
     """The P=1 and P=2 Hirschberg divide levels in ONE dispatch.
 
     The six half-sweeps chain on device through the wide-window
-    persistent/grid kernels (_score_padded): level 1 splits the whole
-    problem, level 2's two parts are built from the level-1 split row
-    (subject cuts are STATIC -- only part heights are data-dependent),
-    and both hb_sum merges run on device. Returns numpy
-    (k0, score0, ks2[2]) or None when ineligible. Saves one ~65 ms
-    dispatch + fetch round trip vs separate levels, and runs the
-    level-1 halves at the full single-pair geometry (persistent
-    R=32/64) instead of the slotted EPP clock."""
+    persistent/grid kernels (_score_padded), swept TRANSPOSED (the
+    merge needs boundary columns = the transposed bottom rows; see
+    _score_level_padded): level 1 splits the whole problem, level 2's
+    two parts are built from the level-1 split row (subject cuts are
+    STATIC -- only part heights are data-dependent), and both hb_sum
+    merges run on device. Returns numpy (k0, score0, ks2[2]) or None
+    when ineligible. Saves one ~65 ms dispatch + fetch round trip vs
+    separate levels and runs at the full single-pair geometry. The
+    transposed heights are the SUBJECT halves, so eligibility is
+    n/2 <= M_MAX -- query heights above M_MAX are fine."""
     if isinstance(sc, AffineScoring):
         return None
     mid = n // 2
     rest = n - mid
-    if m > M_MAX or min(mid, rest) < 2 * W or m < 2:
+    if max(mid, rest) > M_MAX or min(mid, rest) < 2 * W or m < 2:
         return None
     g = sc.gap
 
-    def geo_for(width, height=m):
+    def geo_for(height, width):
         if interpret:
             return 2, 8, None, False
-        G_, R_, U_ = _pick_geometry(height, width, True, False)
+        G_, R_, U_ = _pick_geometry(height, width, False, False)
         w_ = R_ * LANES
-        T_est = 128 * (-(-height // 128)) + 2 * w_
-        n_pad = _round_up(_bucket(width, w_), G_ * w_)
-        pers = (n_pad // (G_ * w_) > 1
+        T_est = 128 * (-(-height // 128)) + w_
+        nw_ = _round_up(_bucket(width, LANES), w_) // w_
+        pers = (nw_ > G_
                 and (G_ - 1) * (w_ + LANES) + w_ + 254 <= T_est)
         return G_, R_, U_, pers
 
-    geo1a = geo_for(mid)
-    geo1b = geo_for(rest)
-    # level 2: conservative grid geometry (heights are traced)
+    # transposed: heights are the subject halves, widths the query part
+    geo1a = geo_for(mid, m)
+    geo1b = geo_for(rest, m)
+    # level 2: conservative grid geometry (widths are traced)
     geo2 = ((2, 8, None, False) if interpret
-            else (*_pick_geometry(m, mid // 2 or 1, True, False)[:3],
+            else (*_pick_geometry(mid // 2 or 1, m, False, False)[:3],
                   False))
 
     out = _score_top_levels_jit(
@@ -2070,33 +2073,38 @@ def _score_top_levels_jit(q_dev, s_dev, m, n, sc, geo1a, geo1b, geo2,
     rest = N - mid
     g = jnp.int32(sc.gap)
 
-    def padded_seq(src, lo, length, max_len, pad, rev):
+    def padded_seq(src, lo, length, max_len, pad, rev, mult=LANES):
         """(bucketed,) int32: src[lo : lo+length] (or reversed slice
         ending at lo+length-1), positions >= length -> pad."""
-        size = _bucket(max_len, LANES)
+        size = _bucket(max_len, mult)
         i = jnp.arange(size)
         idx = jnp.where(rev, lo + length - 1 - i, lo + i)
         v = src[jnp.clip(idx, 0, src.shape[0] - 1)]
         return jnp.where(i < length, v, pad).astype(jnp.int32)
 
-    def half_sweep(qlo, h, slo, wlen, w_max, geo, rev):
+    def half_sweep(qlo, h, slo, wlen, hgt_max, geo, rev):
+        """TRANSPOSED half sweep: query = subject[slo:slo+wlen] (height
+        wlen <= hgt_max static), subject = query[qlo:qlo+h] (width up
+        to M); returns the half's boundary column (the transposed
+        bottom row), masked to h."""
         G_, R_, U_, pers = geo
         w_ = R_ * LANES
-        M_pad = _bucket(M, w_)
-        if M_pad - M < LANES:
-            M_pad = _round_up(M + LANES, w_)
-        N_pad = _round_up(_bucket(w_max, w_), G_ * w_)
-        q2 = padded_seq(q_dev, qlo, h, M_pad, PAD_Q, rev)
-        q2 = jnp.where(jnp.arange(M_pad) < h, q2[:M_pad], PAD_Q)
-        s2 = padded_seq(s_dev, slo, wlen, N_pad, PAD_S, rev)
+        Mt_pad = _bucket(hgt_max, w_)
+        if Mt_pad - hgt_max < LANES:
+            Mt_pad = _round_up(hgt_max + LANES, w_)
+        Nt_pad = (_round_up(_bucket(M, LANES), w_) if pers
+                  else _round_up(_bucket(M, w_), G_ * w_))
+        qT = padded_seq(s_dev, slo, wlen, Mt_pad, PAD_Q, rev)
+        qT = jnp.where(jnp.arange(Mt_pad) < wlen, qT[:Mt_pad], PAD_Q)
+        sT = padded_seq(q_dev, qlo, h, Nt_pad, PAD_S, rev)
         outs = _score_padded(
-            q2.reshape(-1, LANES),
-            s2[:N_pad].reshape(-1, LANES),
-            jnp.maximum(h, 1), jnp.maximum(wlen, 1), Mode.GLOBAL, sc,
-            emit_col=True, G=G_, rw=R_, uu=U_, persistent=pers,
+            qT.reshape(-1, LANES),
+            sT[:Nt_pad].reshape(-1, LANES),
+            jnp.maximum(wlen, 1), jnp.maximum(h, 1), Mode.GLOBAL, sc,
+            emit_col=False, G=G_, rw=R_, uu=U_, persistent=pers,
             need_pos=False, interpret=interpret,
         )
-        col = outs["last_col"]
+        col = outs["last_row"]
         Mb_ = col.shape[0]
         return jnp.where(jnp.arange(Mb_) < h, col, jnp.int32(-(2**30)))
 
@@ -2581,8 +2589,14 @@ def _pick_geometry(m: int, n: int, emit_col: bool, affine: bool):
         cands = [(8, None, 16, 60.0), (16, 10, 16, 82.0),
                  (32, 5, 32, 104.0), (64, 2, 32, 111.0)]
     else:
+        # e = measured slot-throughput (Gcells/s over ALL swept window
+        # slots incl. ghost epochs and T-tails) from the r5 on-chip
+        # sweep at 100k (tools/perf_sweep.py): the model then trades e
+        # against each shape's true padding/epoch quantization.
         cands = [(8, None, 16, 80.0), (16, 10, 16, 121.0),
-                 (32, 5, 16, 143.0), (64, 3, 32, 185.0)]
+                 (32, 6, 32, 185.0), (40, 5, 32, 186.0),
+                 (48, 4, 32, 192.0), (56, 4, 32, 201.0),
+                 (64, 3, 32, 222.0)]
     best = None
     nrm = -(-m // 128)
     for rw, g, uu, e in cands:

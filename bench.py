@@ -176,15 +176,18 @@ def main():
         "mfu_vs_vpu_sol": round(gcups / VPU_SOL_GCUPS, 3),
         "sol_analysis": {
             "ops_per_step": 18,
-            "geometry": "per-shape (G, R, U) pick, R=64/G=3/U=32 at "
-                        "this shape (band._pick_geometry)",
+            "geometry": "per-shape (G, R, U) pick, R=40/G=5/U=32 at "
+                        "this shape (band._pick_geometry; r5 sweep: "
+                        "ragged whole-window counts let mid-R configs "
+                        "beat R=64's G*W epoch quantization)",
             "persistent_chains": True,
             "score_only_tracking": True,
-            "bound": "VPU issue at ~2.5 vreg-ops/cycle on R/8-deep "
-                     "streamed ops; r3's 97 Gcells/s 1-op/cycle model "
-                     "assumed 1-vreg ops -- tall windows beat it 1.7x "
-                     "(G*R ~ 160-192 sublanes in flight optimal; see "
-                     "tools/perf_sweep.py sweep in BENCH_SUITE_r04)",
+            "bound": "VPU issue on R/8-deep streamed ops (measured "
+                     "slot-throughput 186-222 Gcells/s over R=40..64); "
+                     "the headline trades slot rate against true-cell "
+                     "padding -- epoch quantization at G windows is "
+                     "the residual (~8%), plus the inherent m+W "
+                     "parallelogram tail per window",
         },
     }))
 
