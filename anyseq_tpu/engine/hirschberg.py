@@ -323,6 +323,10 @@ def _hb_global(q8, s8, off_i, off_j, out_q, out_s, scoring, engine,
         if (use_kernel and mesh is None and P == 1
                 and parts[0] == (0, m, 0, n)
                 and (n + 1) // 2 <= band.M_MAX
+                # beyond M_MAX the fused level-2 sweeps pad their
+                # (traced) widths to the full m bucket -- measured
+                # SLOWER at 1 Mbp than per-half levels, which win there
+                and m <= band.M_MAX
                 and not isinstance(scoring, AffineScoring)):
             # Root levels P=1 and P=2 in ONE dispatch: the halves run
             # the full single-pair wide-window geometry (persistent
