@@ -38,46 +38,71 @@ from anyseq_tpu.kernels.band import W
 @functools.partial(jax.jit, static_argnames=("mode", "p_pl", "out_len"))
 def _walk(packed, q, s, end_i, end_j, mode: Mode, p_pl: int,
           out_len: int):
+    """BLOCK-DECODE walk: one 16-word gather per EIGHT path steps.
+
+    The naive walk pays one dependent HBM gather per step (~1.3-5 us
+    of load latency each, ~110 ms at 10k). A packed word holds 16
+    codes of one COLUMN (fixed p, consecutive t = i + p), so gathering
+    two t-adjacent words for each of the 8 columns j-7..j covers every
+    cell the walk can reach in 8 moves: each move decrements j (<= 8
+    columns, and step k reads column offset <= k <= 7) or decrements
+    t by <= 2 (diag; 8 moves drop t by <= 16, within the 2-word
+    32-code span). So all 8 unrolled decode steps are register-only --
+    no exit checks -- and the dependent-gather count drops 8x."""
     flat = packed.reshape(-1)
     is_global = mode is Mode.GLOBAL
+    fmax = flat.shape[0] - 1
+    coff = jnp.arange(8, dtype=jnp.int32)
 
-    def code_at(i, j):
-        w = j // W
-        p = jax.lax.rem(j, W)
-        t = i + p
-        word = jax.lax.dynamic_index_in_dim(
-            flat, (w * p_pl + t // 16) * W + p, keepdims=False
-        )
-        interior = (word >> (2 * jax.lax.rem(t, 16))) & 3
+    def halo(i, j):
         if is_global:
-            # Halo semantics (predecessors.impala:11-34): row -1 walks
-            # left (GAP_Q), column -1 walks up (GAP_S), corner stops.
-            bdy = jnp.where(
+            return jnp.where(
                 jnp.logical_and(i < 0, j < 0),
                 PRED_NONE,
                 jnp.where(i < 0, PRED_GAP_Q, PRED_GAP_S),
             )
-        else:
-            bdy = jnp.full((), PRED_NONE, jnp.int32)
-        return jnp.where(jnp.logical_or(i < 0, j < 0), bdy, interior)
+        return jnp.full((), PRED_NONE, jnp.int32)
 
     def body(st, _):
-        # Minimal critical chain: ONE dependent word gather + a few
-        # scalar ops per step (the dependent-load latency ~1.5 us/step
-        # is the walk's true floor; symbol reads and select logic are
-        # re-derived vectorized after the scan).
-        i, j = st
-        code = code_at(i, j)
-        live = code != PRED_NONE
-        takes_q = jnp.logical_or(code == PRED_NO_GAP, code == PRED_GAP_S)
-        takes_s = jnp.logical_or(code == PRED_NO_GAP, code == PRED_GAP_Q)
-        i2 = i - jnp.logical_and(live, takes_q).astype(jnp.int32)
-        j2 = j - jnp.logical_and(live, takes_s).astype(jnp.int32)
-        return (i2, j2), (i, j, code)
+        i0, j0 = st
+        jc = jnp.maximum(j0 - coff, 0)              # (8,) columns
+        wc = jc // W
+        pc = jax.lax.rem(jc, W)
+        twA = (i0 + pc) // 16                       # (8,) entry t-plane
+        base = wc * (p_pl * W) + pc
+        idx16 = jnp.concatenate([base + twA * W, base + (twA - 1) * W])
+        words = flat[jnp.clip(idx16, 0, fmax)]      # (16,)
+
+        i, j = i0, j0
+        outs = []
+        for _k in range(8):
+            c = j0 - j                              # 0.._k
+            pcur = jax.lax.rem(jnp.maximum(j, 0), W)
+            t = i + pcur
+            selB = (t // 16) != jnp.take(twA, c)
+            word = jnp.where(selB, jnp.take(words, 8 + c),
+                             jnp.take(words, c))
+            interior = (word >> (2 * jax.lax.rem(t, 16))) & 3
+            code = jnp.where(jnp.logical_or(i < 0, j < 0),
+                             halo(i, j), interior)
+            live = code != PRED_NONE
+            takes_q = jnp.logical_or(code == PRED_NO_GAP,
+                                     code == PRED_GAP_S)
+            takes_s = jnp.logical_or(code == PRED_NO_GAP,
+                                     code == PRED_GAP_Q)
+            outs.append((i, j, code))
+            i = i - jnp.logical_and(live, takes_q).astype(jnp.int32)
+            j = j - jnp.logical_and(live, takes_s).astype(jnp.int32)
+        return (i, j), (jnp.stack([o[0] for o in outs]),
+                        jnp.stack([o[1] for o in outs]),
+                        jnp.stack([o[2] for o in outs]))
 
     (i, j), (ib, jb, cb) = jax.lax.scan(
-        body, (end_i, end_j), None, length=out_len
+        body, (end_i, end_j), None, length=out_len // 8
     )
+    ib = ib.reshape(-1)
+    jb = jb.reshape(-1)
+    cb = cb.reshape(-1)
     # vectorized reconstruction + ONE scatter per string (path
     # positions strictly decrease, so updates never collide; dead
     # steps park at the reserved slot out_len-1, reset after)
