@@ -21,6 +21,8 @@ import functools
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 from anyseq_tpu.core.types import (
     EMPTY_SYM,
@@ -172,9 +174,14 @@ def _fulltb_fused(q2, s2, m, n, mode: Mode, sc, G, out_len: int,
     score, ei, ej = _extract_traced(outs, m, n, M_pad, N_pad, mode)
     # static packed-plane count (mirror of _score_padded's p_pl)
     p_pl = (M_pad + 2 * W) // (8 if affine else 16)
-    walk = _walk_affine if affine else _walk
-    oq, os, si, sj = walk(outs["packed_preds"], q2.reshape(-1),
-                          s2.reshape(-1), ei, ej, mode, p_pl, out_len)
+    if affine:
+        oq, os, si, sj = _walk_affine(
+            outs["packed_preds"], q2.reshape(-1), s2.reshape(-1), ei,
+            ej, mode, p_pl, out_len)
+    else:
+        oq, os, si, sj = _walk_pallas(
+            outs["packed_preds"], q2.reshape(-1), s2.reshape(-1), ei,
+            ej, mode, p_pl, out_len, interpret=interpret)
     return jnp.stack([score, ei, ej, si, sj]), oq, os
 
 
@@ -205,15 +212,166 @@ def fulltb_fused(qp, sp, m, n, mode, sc, interpret=False):
             np.asarray(os)[: m_i + n_i], (si, sj))
 
 
-def walk_packed(outs, qp, sp, m, n, end, mode):
+def _make_walk_kernel(mode: Mode, p_pl: int, NB: int):
+    """Pallas scalar-core walk: the XLA scan pays ~150 ns per scalar
+    graph op on the serial decode chain (~50 us per 8-step block); on
+    the TPU scalar core the same decode is ~1 cycle/op. Each block
+    DMAs FOUR contiguous 8-word slices (two t-planes for the current
+    window's columns p0-7..p0, two for the previous window when the
+    column range wraps) and decodes 8 steps from SMEM registers,
+    emitting one packed 16-bit code word per block; i/j positions are
+    reconstructed vectorized afterwards (moves are a prefix sum of the
+    codes)."""
+    is_global = mode is Mode.GLOBAL
+
+    def kernel(dims_ref, packed_ref, codes_ref, ij_ref, wbuf, sem):
+        rows = packed_ref.shape[0]
+
+        def block(b, carry):
+            i0, j0 = carry
+            j0c = jnp.maximum(j0, 0)
+            p0 = jax.lax.rem(j0c, W)
+            w0 = j0c // W
+            tH = (i0 + p0) // 16
+            base_cur = (w0 * p_pl + tH) * W
+            tP = (i0 + W - 1) // 16
+            base_prv = ((w0 - 1) * p_pl + tP) * W
+            # four 8-word slices -> four row-aligned (2, 128) DMAs
+            starts = (base_cur + p0 - 7, base_cur + p0 - 7 - W,
+                      base_prv + W + p0 - 7, base_prv + p0 - 7)
+            bases = []
+            dmas = []
+            for k_, s_ in enumerate(starts):
+                r_ = jnp.clip(s_ // 128, 0, rows - 2)
+                d = pltpu.make_async_copy(
+                    packed_ref.at[pl.ds(r_, 2), :],
+                    wbuf.at[pl.ds(k_ * 2, 2), :],
+                    sem.at[k_],
+                )
+                d.start()
+                dmas.append(d)
+                bases.append(r_ * 128)
+            for d in dmas:
+                d.wait()
+
+            i, j = i0, j0
+            codesw = jnp.int32(0)
+            for k in range(8):
+                c = j0 - j
+                prevwin = c > p0
+                pcur = jnp.where(prevwin, W + p0 - c, p0 - c)
+                t = i + pcur
+                hi = (t // 16) == jnp.where(prevwin, tP, tH)
+                addr = (jnp.where(prevwin, base_prv, base_cur)
+                        + pcur - jnp.where(hi, 0, W))
+                b_sel = jnp.where(
+                    prevwin,
+                    jnp.where(hi, bases[2], bases[3]),
+                    jnp.where(hi, bases[0], bases[1]),
+                )
+                slot = jnp.where(
+                    prevwin, jnp.where(hi, 2, 3), jnp.where(hi, 0, 1)
+                )
+                local = jnp.clip(addr - b_sel, 0, 255)
+                word = wbuf[slot * 2 + local // 128,
+                            jax.lax.rem(local, 128)]
+                interior = (word >> (2 * jax.lax.rem(t, 16))) & 3
+                if is_global:
+                    bdy = jnp.where(
+                        jnp.logical_and(i < 0, j < 0), PRED_NONE,
+                        jnp.where(i < 0, PRED_GAP_Q, PRED_GAP_S),
+                    )
+                else:
+                    bdy = jnp.int32(PRED_NONE)
+                code = jnp.where(jnp.logical_or(i < 0, j < 0), bdy,
+                                 interior)
+                codesw = codesw | (code << (2 * k))
+                live = code != PRED_NONE
+                tq = jnp.logical_or(code == PRED_NO_GAP,
+                                    code == PRED_GAP_S)
+                ts_ = jnp.logical_or(code == PRED_NO_GAP,
+                                     code == PRED_GAP_Q)
+                i = i - jnp.logical_and(live, tq).astype(jnp.int32)
+                j = j - jnp.logical_and(live, ts_).astype(jnp.int32)
+            codes_ref[b] = codesw
+            return i, j
+
+        i, j = jax.lax.fori_loop(
+            0, NB, block, (dims_ref[0], dims_ref[1])
+        )
+        ij_ref[0] = i
+        ij_ref[1] = j
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("mode", "p_pl", "out_len", "interpret")
+)
+def _walk_pallas(packed, q, s, end_i, end_j, mode: Mode, p_pl: int,
+                 out_len: int, interpret: bool = False):
+    """Scalar-core block walk (see _make_walk_kernel) + vectorized
+    reconstruction: the kernel emits only the 2-bit code stream and the
+    final (i, j); positions are a prefix sum over the decoded moves."""
+    from jax.experimental import pallas as _pl
+    from jax.experimental.pallas import tpu as _pltpu
+
+    NB = out_len // 8
+    kernel = _make_walk_kernel(mode, p_pl, NB)
+    codes, ij = _pl.pallas_call(
+        kernel,
+        in_specs=[
+            _pl.BlockSpec(memory_space=_pltpu.SMEM),
+            _pl.BlockSpec(memory_space=_pl.ANY),
+        ],
+        out_specs=[
+            _pl.BlockSpec(memory_space=_pltpu.SMEM),
+            _pl.BlockSpec(memory_space=_pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((NB,), jnp.int32),
+            jax.ShapeDtypeStruct((2,), jnp.int32),
+        ],
+        scratch_shapes=[
+            _pltpu.SMEM((8, 128), jnp.int32),
+            _pltpu.SemaphoreType.DMA((4,)),
+        ],
+        interpret=interpret,
+    )(jnp.stack([end_i, end_j]).astype(jnp.int32), packed)
+
+    kidx = jnp.arange(out_len)
+    cb = (codes[kidx // 8] >> (2 * jax.lax.rem(kidx, 8))) & 3
+    live = cb != PRED_NONE
+    takes_q = jnp.logical_or(cb == PRED_NO_GAP, cb == PRED_GAP_S)
+    takes_s = jnp.logical_or(cb == PRED_NO_GAP, cb == PRED_GAP_Q)
+    mq = jnp.logical_and(live, takes_q).astype(jnp.int32)
+    ms_ = jnp.logical_and(live, takes_s).astype(jnp.int32)
+    ib = end_i - (jnp.cumsum(mq) - mq)      # exclusive prefix sums
+    jb = end_j - (jnp.cumsum(ms_) - ms_)
+    sym_q = jnp.where(takes_q, q[jnp.maximum(ib, 0)].astype(jnp.uint8),
+                      GAP_SYM)
+    sym_s = jnp.where(takes_s, s[jnp.maximum(jb, 0)].astype(jnp.uint8),
+                      GAP_SYM)
+    posb = jnp.where(live, ib + jb + 1, out_len - 1)
+    oq0 = jnp.full((out_len,), EMPTY_SYM, jnp.uint8)
+    oq = oq0.at[posb].set(sym_q).at[out_len - 1].set(EMPTY_SYM)
+    os = oq0.at[posb].set(sym_s).at[out_len - 1].set(EMPTY_SYM)
+    return oq, os, ij[0] + 1, ij[1] + 1
+
+
+def walk_packed(outs, qp, sp, m, n, end, mode, interpret=None):
     """Walk the packed preds from `band.score_pair(..., emit_preds=True)`
     outputs. Returns (out_q, out_s, (start_i, start_j)) as numpy/ints."""
+    from anyseq_tpu.kernels import band as _band
+
     mode = Mode.parse(mode)
+    if interpret is None:
+        interpret = not _band.available()
     out_len = -(-(m + n) // 256) * 256  # bucket to bound compile variants
-    oq, os, si, sj = _walk(
+    oq, os, si, sj = _walk_pallas(
         outs["packed_preds"], qp, sp,
         jnp.int32(end[0]), jnp.int32(end[1]),
-        mode, int(outs["p_pl"]), out_len,
+        mode, int(outs["p_pl"]), out_len, interpret=interpret,
     )
     return (np.asarray(oq)[: m + n], np.asarray(os)[: m + n],
             (int(si), int(sj)))
