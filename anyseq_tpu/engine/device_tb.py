@@ -174,14 +174,10 @@ def _fulltb_fused(q2, s2, m, n, mode: Mode, sc, G, out_len: int,
     score, ei, ej = _extract_traced(outs, m, n, M_pad, N_pad, mode)
     # static packed-plane count (mirror of _score_padded's p_pl)
     p_pl = (M_pad + 2 * W) // (8 if affine else 16)
-    if affine:
-        oq, os, si, sj = _walk_affine(
-            outs["packed_preds"], q2.reshape(-1), s2.reshape(-1), ei,
-            ej, mode, p_pl, out_len)
-    else:
-        oq, os, si, sj = _walk_pallas(
-            outs["packed_preds"], q2.reshape(-1), s2.reshape(-1), ei,
-            ej, mode, p_pl, out_len, interpret=interpret)
+    walk = _walk_affine_pallas if affine else _walk_pallas
+    oq, os, si, sj = walk(
+        outs["packed_preds"], q2.reshape(-1), s2.reshape(-1), ei, ej,
+        mode, p_pl, out_len, interpret=interpret)
     return jnp.stack([score, ei, ej, si, sj]), oq, os
 
 
@@ -303,6 +299,181 @@ def _make_walk_kernel(mode: Mode, p_pl: int, NB: int):
         ij_ref[1] = j
 
     return kernel
+
+
+def _make_walk_kernel_affine(mode: Mode, p_pl: int, NB: int):
+    """Affine (3-state Gotoh) scalar-core walk: 4-bit codes pack 8 per
+    word (one 8-t-value plane per word), so a block of 8 steps (t span
+    <= 16) needs THREE planes per window group -- six row-aligned
+    (2, 128) DMAs. Each step emits a 4-bit token (di | dj<<1 | emit<<2)
+    packed into one word per block; the state machine itself stays in
+    the scalar carry. Semantics identical to _walk_affine."""
+    is_global = mode is Mode.GLOBAL
+    H_, E_, F_ = 0, 1, 2
+
+    def kernel(dims_ref, packed_ref, tok_ref, ij_ref, wbuf, sem):
+        rows = packed_ref.shape[0]
+
+        def block(b, carry):
+            i0, j0, st0 = carry
+            j0c = jnp.maximum(j0, 0)
+            p0 = jax.lax.rem(j0c, W)
+            w0 = j0c // W
+            tH = (i0 + p0) // 8
+            base_cur = (w0 * p_pl + tH) * W
+            tP = (i0 + W - 1) // 8
+            base_prv = ((w0 - 1) * p_pl + tP) * W
+            starts = (base_cur + p0 - 7,
+                      base_cur + p0 - 7 - W,
+                      base_cur + p0 - 7 - 2 * W,
+                      base_prv + W + p0 - 7,
+                      base_prv + p0 - 7,
+                      base_prv - W + p0 - 7)
+            bases = []
+            dmas = []
+            for k_, s_ in enumerate(starts):
+                r_ = jnp.clip(s_ // 128, 0, rows - 2)
+                d = pltpu.make_async_copy(
+                    packed_ref.at[pl.ds(r_, 2), :],
+                    wbuf.at[pl.ds(k_ * 2, 2), :],
+                    sem.at[k_],
+                )
+                d.start()
+                dmas.append(d)
+                bases.append(r_ * 128)
+            for d in dmas:
+                d.wait()
+
+            i, j, state = i0, j0, st0
+            tokw = jnp.int32(0)
+            for k in range(8):
+                c = j0 - j
+                prevwin = c > p0
+                pcur = jnp.where(prevwin, W + p0 - c, p0 - c)
+                t = i + pcur
+                dpl = jnp.where(prevwin, tP, tH) - t // 8  # 0..2
+                addr = (jnp.where(prevwin, base_prv, base_cur)
+                        + pcur - dpl * W)
+                slot = jnp.where(prevwin, 3, 0) + jnp.clip(dpl, 0, 2)
+                b_sel = jnp.where(
+                    prevwin,
+                    jnp.where(dpl == 0, bases[3],
+                              jnp.where(dpl == 1, bases[4], bases[5])),
+                    jnp.where(dpl == 0, bases[0],
+                              jnp.where(dpl == 1, bases[1], bases[2])),
+                )
+                local = jnp.clip(addr - b_sel, 0, 255)
+                word = wbuf[slot * 2 + local // 128,
+                            jax.lax.rem(local, 128)]
+                c4 = (word >> (4 * jax.lax.rem(t, 8))) & 15
+                ph_i, pe_i, pf_i = c4 & 3, (c4 >> 2) & 1, (c4 >> 3) & 1
+                if is_global:
+                    ph_b = jnp.where(
+                        jnp.logical_and(i < 0, j < 0), PRED_NONE,
+                        jnp.where(i < 0, PRED_GAP_Q, PRED_GAP_S),
+                    )
+                else:
+                    ph_b = jnp.int32(PRED_NONE)
+                off = jnp.logical_or(i < 0, j < 0)
+                ph = jnp.where(off, ph_b, ph_i)
+                pe = jnp.where(off, jnp.where(j >= 1, 1, 0), pe_i)
+                pf = jnp.where(off, jnp.where(i >= 1, 1, 0), pf_i)
+
+                stop_h = jnp.logical_and(state == H_, ph == PRED_NONE)
+                done = jnp.logical_and(i < 0, j < 0)
+                live = jnp.logical_not(jnp.logical_or(stop_h, done))
+                in_h = state == H_
+                diag = jnp.logical_and(in_h, ph == PRED_NO_GAP)
+                to_e = jnp.logical_and(in_h, ph == PRED_GAP_Q)
+                to_f = jnp.logical_and(in_h, ph == PRED_GAP_S)
+                in_e = state == E_
+                in_f = state == F_
+                emit = jnp.logical_and(
+                    live,
+                    jnp.logical_or(diag, jnp.logical_or(in_e, in_f)),
+                )
+                di = jnp.logical_and(
+                    live, jnp.logical_or(diag, in_f)).astype(jnp.int32)
+                dj = jnp.logical_and(
+                    live, jnp.logical_or(diag, in_e)).astype(jnp.int32)
+                tok = di | (dj << 1) | (emit.astype(jnp.int32) << 2)
+                tokw = tokw | (tok << (4 * k))
+                new_state = jnp.where(
+                    to_e, E_,
+                    jnp.where(
+                        to_f, F_,
+                        jnp.where(jnp.logical_and(in_e, pe == 1), E_,
+                                  jnp.where(jnp.logical_and(in_f,
+                                                            pf == 1),
+                                            F_, H_)),
+                    ),
+                )
+                state = jnp.where(live, new_state, state)
+                i = i - di
+                j = j - dj
+            tok_ref[b] = tokw
+            return i, j, state
+
+        i, j, _ = jax.lax.fori_loop(
+            0, NB, block, (dims_ref[0], dims_ref[1], jnp.int32(H_))
+        )
+        ij_ref[0] = i
+        ij_ref[1] = j
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("mode", "p_pl", "out_len", "interpret")
+)
+def _walk_affine_pallas(packed, q, s, end_i, end_j, mode: Mode,
+                        p_pl: int, out_len: int,
+                        interpret: bool = False):
+    """Affine scalar-core walk + vectorized reconstruction. Scan
+    length 2 * out_len as in _walk_affine (one non-emitting H -> E/F
+    transition per gap run)."""
+    steps = 2 * out_len
+    NB = steps // 8
+    kernel = _make_walk_kernel_affine(mode, p_pl, NB)
+    toks, ij = pl.pallas_call(
+        kernel,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((NB,), jnp.int32),
+            jax.ShapeDtypeStruct((2,), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.SMEM((12, 128), jnp.int32),
+            pltpu.SemaphoreType.DMA((6,)),
+        ],
+        interpret=interpret,
+    )(jnp.stack([end_i, end_j]).astype(jnp.int32), packed)
+
+    kidx = jnp.arange(steps)
+    tok = (toks[kidx // 8] >> (4 * jax.lax.rem(kidx, 8))) & 15
+    di = tok & 1
+    dj = (tok >> 1) & 1
+    emit = (tok >> 2) & 1
+    ib = end_i - (jnp.cumsum(di) - di)
+    jb = end_j - (jnp.cumsum(dj) - dj)
+    # emitting steps always move; sym source = the moved-along axis
+    sym_q = jnp.where(di == 1, q[jnp.maximum(ib, 0)].astype(jnp.uint8),
+                      GAP_SYM)
+    sym_s = jnp.where(dj == 1, s[jnp.maximum(jb, 0)].astype(jnp.uint8),
+                      GAP_SYM)
+    posb = jnp.where(emit == 1, ib + jb + 1, out_len - 1)
+    posb = jnp.clip(posb, 0, out_len - 1)
+    oq0 = jnp.full((out_len,), EMPTY_SYM, jnp.uint8)
+    oq = oq0.at[posb].set(sym_q).at[out_len - 1].set(EMPTY_SYM)
+    os = oq0.at[posb].set(sym_s).at[out_len - 1].set(EMPTY_SYM)
+    return oq, os, ij[0] + 1, ij[1] + 1
 
 
 @functools.partial(
@@ -473,15 +644,19 @@ def _walk_affine(packed, q, s, end_i, end_j, mode: Mode, p_pl: int,
     return oq, os, i + 1, j + 1
 
 
-def walk_packed_affine(outs, qp, sp, m, n, end, mode):
+def walk_packed_affine(outs, qp, sp, m, n, end, mode, interpret=None):
     """Affine analog of :func:`walk_packed`."""
+    from anyseq_tpu.kernels import band as _band
+
     mode = Mode.parse(mode)
+    if interpret is None:
+        interpret = not _band.available()
     # +1: slot out_len-1 is the dummy write target, never in [0, m+n)
     out_len = -(-(m + n + 1) // 256) * 256
-    oq, os, si, sj = _walk_affine(
+    oq, os, si, sj = _walk_affine_pallas(
         outs["packed_preds"], qp, sp,
         jnp.int32(end[0]), jnp.int32(end[1]),
-        mode, int(outs["p_pl"]), out_len,
+        mode, int(outs["p_pl"]), out_len, interpret=interpret,
     )
     return (np.asarray(oq)[: m + n], np.asarray(os)[: m + n],
             (int(si), int(sj)))

@@ -2583,8 +2583,11 @@ def _pick_geometry(m: int, n: int, emit_col: bool, affine: bool):
     # rotating collector + the longer sweep). U=32 only where the ~2x
     # Mosaic compile time bought a measured win.
     if affine:
+        # r5 on-chip sweep at 100k local (slot-throughput e as below):
+        # measured 129.2 (32,5), 132.2 (40,4), 127.9 (56,3) GCUPS
         cands = [(8, None, 16, 40.0), (16, 5, 16, 62.0),
-                 (32, 5, 32, 124.0)]
+                 (32, 5, 32, 138.0), (40, 4, 32, 142.0),
+                 (56, 3, 32, 147.0)]
     elif emit_col:
         cands = [(8, None, 16, 60.0), (16, 10, 16, 82.0),
                  (32, 5, 32, 104.0), (64, 2, 32, 111.0)]
