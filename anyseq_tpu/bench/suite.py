@@ -197,8 +197,21 @@ def run(quick=False, out=sys.stdout):
                 jnp.asarray(ns_), sc)
 
         cells = 2 * P * h * mid
-        t_k = _time(f_kernel, reps=2, k=3)
-        t_b = _time(f_batch, reps=2, k=3)
+
+        def _abs_time(fn, reps=3):
+            # absolute best-of (the slope form can go negative under
+            # tunnel jitter for multi-dispatch loops)
+            fn()
+            best = None
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                np.asarray(fn())
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            return best
+
+        t_k = _abs_time(f_kernel)
+        t_b = _abs_time(f_batch)
         rec = {
             "config": f"construction crossover {P}x({h}x{mid})",
             "kernel_ms": round(t_k * 1000, 1),
@@ -365,8 +378,15 @@ def run(quick=False, out=sys.stdout):
         results.append(rec)
         print(json.dumps(rec), file=out, flush=True)
 
-    # headline summary: peak score-only GCUPS
-    peak = max(r["gcups"] for r in results)
+    # headline summary: peak score-only GCUPS (ignore sub-ms probes --
+    # their timing resolution is noise-bound; check every *_ms key so
+    # multi-timing rows still qualify)
+    def _row_ms(r):
+        return max((v for k, v in r.items()
+                    if k.endswith("ms") and isinstance(v, (int, float))),
+                   default=0)
+
+    peak = max(r["gcups"] for r in results if _row_ms(r) >= 0.5)
     print(json.dumps({"metric": "suite peak GCUPS", "value": peak,
                       "unit": "GCUPS"}), file=out)
     return results

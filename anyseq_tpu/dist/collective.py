@@ -73,6 +73,18 @@ _COLLECTIVE_IDS: dict[tuple, int] = {}
 def _collective_id_for(mesh: Mesh) -> int:
     key = tuple(d.id for d in np.asarray(mesh.devices).flat)
     if key not in _COLLECTIVE_IDS:
+        if len(_COLLECTIVE_IDS) >= 32:
+            # Mosaic collective ids are small integers; past 32
+            # distinct device sets we wrap and two sets 32 apart could
+            # collide if their kernels ever ran CONCURRENTLY -- warn
+            # loudly instead of failing (sequential reuse is safe).
+            import warnings
+
+            warnings.warn(
+                "anyseq_tpu: more than 32 distinct collective device "
+                "sets in one process; collective_id wraps -- kernels "
+                "over id-sharing sets must not run concurrently"
+            )
         _COLLECTIVE_IDS[key] = 7 + (len(_COLLECTIVE_IDS) % 32)
     return _COLLECTIVE_IDS[key]
 
@@ -486,11 +498,15 @@ def score_pairs_collective(queries, subjects, mode, sc, mesh: Mesh,
         interpret=interpret, coll_id=coll_id,
     )
 
-    from anyseq_tpu.dist.batch import fetch
+    # ONE host fetch for all three arrays (each separate fetch pays a
+    # full tunnel round trip on remote-TPU setups); multi-process runs
+    # need the allgather form for non-addressable shards
+    if jax.process_count() > 1:
+        from anyseq_tpu.dist.batch import fetch
 
-    rows = fetch(rows)
-    ecols = fetch(ecols)
-    bests = fetch(bests)
+        rows, ecols, bests = fetch(rows), fetch(ecols), fetch(bests)
+    else:
+        rows, ecols, bests = jax.device_get((rows, ecols, bests))
     results = []
     for b in range(B):
         outs = {"last_row": rows[b], "last_col": ecols[b],

@@ -4,9 +4,16 @@ The full-matrix traceback path traditionally fetches the O(m*n) pred
 matrix to the host and walks there (reference: predc.get_matrix_cpu +
 traceback_offset, align.impala:202-205). On a tunneled/remote TPU that
 fetch dominates end-to-end time (tens of MB per alignment). Instead the
-walk runs as a jitted ``lax.while_loop`` directly over the packed array
-in HBM: O(m+n) iterations, each one dynamic-sliced int32 word, and only
-the O(m+n) gapped strings leave the device.
+walk runs as a Pallas kernel on the TPU SCALAR CORE (XLA graph scalar
+ops cost ~150 ns each on the serial decode chain; the scalar core runs
+them at ~1 cycle): blocks of 8 steps decode from a handful of
+row-aligned DMA windows, emitting only a packed code stream whose
+positions are reconstructed as vectorized prefix sums -- only the
+O(m+n) gapped strings leave the device. Size note: the code stream is
+an SMEM output of (m+n)/2 bytes (affine: m+n); full-matrix traceback
+at sizes where this could press SMEM limits is already HBM-infeasible
+(the packed pred matrix itself is O(m*n/4) bytes) -- `align()` routes
+such problems to the Hirschberg path.
 
 Packed layout (see kernels/band.py): word for cell (i, j) at flat index
 (w * p_pl + t // 16) * W + p with w = j // W, p = j % W, t = i + p; code
@@ -36,90 +43,6 @@ from anyseq_tpu.core.types import (
 )
 from anyseq_tpu.kernels.band import W
 
-
-@functools.partial(jax.jit, static_argnames=("mode", "p_pl", "out_len"))
-def _walk(packed, q, s, end_i, end_j, mode: Mode, p_pl: int,
-          out_len: int):
-    """BLOCK-DECODE walk: one 16-word gather per EIGHT path steps.
-
-    The naive walk pays one dependent HBM gather per step (~1.3-5 us
-    of load latency each, ~110 ms at 10k). A packed word holds 16
-    codes of one COLUMN (fixed p, consecutive t = i + p), so gathering
-    two t-adjacent words for each of the 8 columns j-7..j covers every
-    cell the walk can reach in 8 moves: each move decrements j (<= 8
-    columns, and step k reads column offset <= k <= 7) or decrements
-    t by <= 2 (diag; 8 moves drop t by <= 16, within the 2-word
-    32-code span). So all 8 unrolled decode steps are register-only --
-    no exit checks -- and the dependent-gather count drops 8x."""
-    flat = packed.reshape(-1)
-    is_global = mode is Mode.GLOBAL
-    fmax = flat.shape[0] - 1
-    coff = jnp.arange(8, dtype=jnp.int32)
-
-    def halo(i, j):
-        if is_global:
-            return jnp.where(
-                jnp.logical_and(i < 0, j < 0),
-                PRED_NONE,
-                jnp.where(i < 0, PRED_GAP_Q, PRED_GAP_S),
-            )
-        return jnp.full((), PRED_NONE, jnp.int32)
-
-    def body(st, _):
-        i0, j0 = st
-        jc = jnp.maximum(j0 - coff, 0)              # (8,) columns
-        wc = jc // W
-        pc = jax.lax.rem(jc, W)
-        twA = (i0 + pc) // 16                       # (8,) entry t-plane
-        base = wc * (p_pl * W) + pc
-        idx16 = jnp.concatenate([base + twA * W, base + (twA - 1) * W])
-        words = flat[jnp.clip(idx16, 0, fmax)]      # (16,)
-
-        i, j = i0, j0
-        outs = []
-        for _k in range(8):
-            c = j0 - j                              # 0.._k
-            pcur = jax.lax.rem(jnp.maximum(j, 0), W)
-            t = i + pcur
-            selB = (t // 16) != jnp.take(twA, c)
-            word = jnp.where(selB, jnp.take(words, 8 + c),
-                             jnp.take(words, c))
-            interior = (word >> (2 * jax.lax.rem(t, 16))) & 3
-            code = jnp.where(jnp.logical_or(i < 0, j < 0),
-                             halo(i, j), interior)
-            live = code != PRED_NONE
-            takes_q = jnp.logical_or(code == PRED_NO_GAP,
-                                     code == PRED_GAP_S)
-            takes_s = jnp.logical_or(code == PRED_NO_GAP,
-                                     code == PRED_GAP_Q)
-            outs.append((i, j, code))
-            i = i - jnp.logical_and(live, takes_q).astype(jnp.int32)
-            j = j - jnp.logical_and(live, takes_s).astype(jnp.int32)
-        return (i, j), (jnp.stack([o[0] for o in outs]),
-                        jnp.stack([o[1] for o in outs]),
-                        jnp.stack([o[2] for o in outs]))
-
-    (i, j), (ib, jb, cb) = jax.lax.scan(
-        body, (end_i, end_j), None, length=out_len // 8
-    )
-    ib = ib.reshape(-1)
-    jb = jb.reshape(-1)
-    cb = cb.reshape(-1)
-    # vectorized reconstruction + ONE scatter per string (path
-    # positions strictly decrease, so updates never collide; dead
-    # steps park at the reserved slot out_len-1, reset after)
-    live = cb != PRED_NONE
-    takes_q = jnp.logical_or(cb == PRED_NO_GAP, cb == PRED_GAP_S)
-    takes_s = jnp.logical_or(cb == PRED_NO_GAP, cb == PRED_GAP_Q)
-    sym_q = jnp.where(takes_q, q[jnp.maximum(ib, 0)].astype(jnp.uint8),
-                      GAP_SYM)
-    sym_s = jnp.where(takes_s, s[jnp.maximum(jb, 0)].astype(jnp.uint8),
-                      GAP_SYM)
-    posb = jnp.where(live, ib + jb + 1, out_len - 1)
-    oq0 = jnp.full((out_len,), EMPTY_SYM, jnp.uint8)
-    oq = oq0.at[posb].set(sym_q).at[out_len - 1].set(EMPTY_SYM)
-    os = oq0.at[posb].set(sym_s).at[out_len - 1].set(EMPTY_SYM)
-    return oq, os, i + 1, j + 1
 
 
 def _extract_traced(outs, m, n, M_pad, N_pad, mode: Mode):
@@ -538,7 +461,10 @@ def walk_packed(outs, qp, sp, m, n, end, mode, interpret=None):
     mode = Mode.parse(mode)
     if interpret is None:
         interpret = not _band.available()
-    out_len = -(-(m + n) // 256) * 256  # bucket to bound compile variants
+    # +1: slot out_len-1 is the reserved dead-park slot, never a live
+    # position (without it, (m+n) % 256 == 0 would collide the final
+    # alignment symbol with the reserved slot)
+    out_len = -(-(m + n + 1) // 256) * 256
     oq, os, si, sj = _walk_pallas(
         outs["packed_preds"], qp, sp,
         jnp.int32(end[0]), jnp.int32(end[1]),
@@ -547,101 +473,6 @@ def walk_packed(outs, qp, sp, m, n, end, mode, interpret=None):
     return (np.asarray(oq)[: m + n], np.asarray(os)[: m + n],
             (int(si), int(sj)))
 
-
-@functools.partial(jax.jit, static_argnames=("mode", "p_pl", "out_len"))
-def _walk_affine(packed, q, s, end_i, end_j, mode: Mode, p_pl: int,
-                 out_len: int):
-    """3-state (H/E/F) walk over the kernel's 4-bit affine packed codes
-    (PH | PE<<2 | PF<<3, 8 codes per word). Semantics identical to
-    ref/oracle_affine.traceback_affine with the GLOBAL halo convention
-    of api._haloed_affine_preds."""
-    flat = packed.reshape(-1)
-    is_global = mode is Mode.GLOBAL
-    H_, E_, F_ = 0, 1, 2
-
-    def fields(i, j):
-        w = j // W
-        p = jax.lax.rem(j, W)
-        t = i + p
-        word = jax.lax.dynamic_index_in_dim(
-            flat, (w * p_pl + t // 8) * W + p, keepdims=False
-        )
-        c = (word >> (4 * jax.lax.rem(t, 8))) & 15
-        ph_i, pe_i, pf_i = c & 3, (c >> 2) & 1, (c >> 3) & 1
-        if is_global:
-            ph_b = jnp.where(
-                jnp.logical_and(i < 0, j < 0),
-                PRED_NONE,
-                jnp.where(i < 0, PRED_GAP_Q, PRED_GAP_S),
-            )
-        else:
-            ph_b = jnp.full((), PRED_NONE, jnp.int32)
-        # Halo runs: the boundary-row E run extends for j >= 1 and opens
-        # at j == 0; the boundary-column F run extends for i >= 1.
-        pe_b = jnp.where(j >= 1, 1, 0)
-        pf_b = jnp.where(i >= 1, 1, 0)
-        off = jnp.logical_or(i < 0, j < 0)
-        return (jnp.where(off, ph_b, ph_i),
-                jnp.where(off, pe_b, pe_i),
-                jnp.where(off, pf_b, pf_i))
-
-    def body(st, _):
-        # ONE dependent word gather + state update on the critical
-        # chain (see _walk); emission is re-derived vectorized after.
-        i, j, state = st
-        ph, pe, pf = fields(i, j)
-        stop_h = jnp.logical_and(state == H_, ph == PRED_NONE)
-        done = jnp.logical_and(i < 0, j < 0)
-        live = jnp.logical_not(jnp.logical_or(stop_h, done))
-
-        in_h = state == H_
-        diag = jnp.logical_and(in_h, ph == PRED_NO_GAP)
-        to_e = jnp.logical_and(in_h, ph == PRED_GAP_Q)
-        to_f = jnp.logical_and(in_h, ph == PRED_GAP_S)
-        in_e = state == E_
-        in_f = state == F_
-
-        di = jnp.where(jnp.logical_or(diag, in_f), 1, 0)
-        dj = jnp.where(jnp.logical_or(diag, in_e), 1, 0)
-        new_state = jnp.where(
-            to_e, E_,
-            jnp.where(
-                to_f, F_,
-                jnp.where(jnp.logical_and(in_e, pe == 1), E_,
-                          jnp.where(jnp.logical_and(in_f, pf == 1),
-                                    F_, H_)),
-            ),
-        )
-        i2 = jnp.where(live, i - di, i)
-        j2 = jnp.where(live, j - dj, j)
-        state2 = jnp.where(live, new_state, state)
-        return (i2, j2, state2), (i, j, state, live, diag)
-
-    # Length: <= out_len + 1 emitting steps (distinct positions), plus
-    # one non-emitting H -> E/F transition per gap run;
-    # all-singleton-run paths reach 2x, so 2 * out_len covers the
-    # worst case.
-    (i, j, _), (ib, jb, stb, liveb, diagb) = jax.lax.scan(
-        body, (end_i, end_j, jnp.int32(H_)), None,
-        length=2 * out_len,
-    )
-    # vectorized reconstruction + ONE scatter per string; non-emitting
-    # steps (H -> E/F transitions, dead steps) park at the reserved
-    # slot out_len-1 (reset after)
-    in_e = stb == E_
-    in_f = stb == F_
-    emit = jnp.logical_and(liveb,
-                           jnp.logical_or(diagb,
-                                          jnp.logical_or(in_e, in_f)))
-    qs = q[jnp.maximum(ib, 0)].astype(jnp.uint8)
-    ss = s[jnp.maximum(jb, 0)].astype(jnp.uint8)
-    sym_q = jnp.where(diagb, qs, jnp.where(in_f, qs, GAP_SYM))
-    sym_s = jnp.where(diagb, ss, jnp.where(in_e, ss, GAP_SYM))
-    posb = jnp.where(emit, ib + jb + 1, out_len - 1)
-    oq0 = jnp.full((out_len,), EMPTY_SYM, jnp.uint8)
-    oq = oq0.at[posb].set(sym_q).at[out_len - 1].set(EMPTY_SYM)
-    os = oq0.at[posb].set(sym_s).at[out_len - 1].set(EMPTY_SYM)
-    return oq, os, i + 1, j + 1
 
 
 def walk_packed_affine(outs, qp, sp, m, n, end, mode, interpret=None):

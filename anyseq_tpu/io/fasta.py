@@ -166,7 +166,11 @@ class SequenceHeaderReader(SequenceReader):
     sequence_io.h:115-143 / sequence_io.cpp:168-200): each ``next()``
     scans forward to the next line starting with '>' or '@' and returns
     its text (without the marker) as the record header; ``data`` stays
-    empty. Works on both FASTA and FASTQ files."""
+    empty. Works on both FASTA and FASTQ files -- with the reference's
+    own quirk preserved: the line scan is blind, so a FASTQ quality
+    string whose first character is '@' (Phred+33 Q31) or '>' (Q29)
+    is misread as a phantom header, exactly as the C++ reader does
+    (use :class:`FastqReader` for structural 4-line parsing)."""
 
     def __init__(self, filename: str):
         super().__init__()

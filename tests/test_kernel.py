@@ -96,6 +96,27 @@ def test_kernel_packed_preds_and_device_walk(mode, rng):
     assert start == exp_start
 
 
+def test_walk_packed_out_len_multiple_of_256(rng):
+    """Regression: when (m+n) is a multiple of 256, the walk's reserved
+    dead-park slot must not collide with the final alignment position
+    (the last symbol was erased to EMPTY before the +1 slack)."""
+    from anyseq_tpu.engine import device_tb
+    from anyseq_tpu.ref import oracle
+
+    q = random_dna(rng, 128)
+    s = random_dna(rng, 128)
+    _, _, m, n, qp, sp = api._prep(q, s)
+    outs = band.score_pair(qp, sp, m, n, Mode.GLOBAL, LIN,
+                           interpret=True, G=2, emit_preds=True)
+    oq, os, start = device_tb.walk_packed(outs, qp, sp, m, n,
+                                          (m - 1, n - 1), Mode.GLOBAL,
+                                          interpret=True)
+    _, exp_q, exp_s, exp_start = oracle.align(q, s, Mode.GLOBAL, LIN)
+    assert bytes(oq) == bytes(exp_q)
+    assert bytes(os) == bytes(exp_s)
+    assert start == exp_start
+
+
 def test_kernel_global_row_only_ragged_persistent(rng):
     """GLOBAL closed-form sweep with emit_col=False (the transposed
     construction halves read columns off as bottom rows), in PERSISTENT
