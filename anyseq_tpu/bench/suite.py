@@ -153,6 +153,19 @@ def run(quick=False, out=sys.stdout):
     results.append(rec)
     print(json.dumps(rec), file=out, flush=True)
 
+    # config 3a: affine (Gotoh) linear-memory construction -- the
+    # Myers-Miller divide-and-conquer (dead code in the reference;
+    # quirk Q3); beyond-reference capability row.
+    n3a = 5000 if quick else 20000
+    qa, sa = _mkpair(rng, n3a)
+    from anyseq_tpu.core.types import AffineScoring as _Aff
+
+    aff = _Aff(2, -1, -3, -1)
+    emit(f"affine global myers-miller {n3a//1000}k",
+         _warm_time(lambda: anyseq_tpu.align(qa, sa, "global", aff,
+                                             traceback="hirschberg")),
+         2 * n3a * n3a)
+
     # config 3b: construction-level crossover probe -- one Hirschberg
     # divide level (P parts, half-width mid at the KERNEL_MIN_MID
     # boundary) timed both ways: per-half kernel dispatch vs the batched
@@ -260,8 +273,10 @@ def run(quick=False, out=sys.stdout):
             return _swarm._swarm_scores_jit(
                 *dev, _Mode.LOCAL, sc, M, N, T)[0]
 
+        # k=24 back-to-back dispatches: the ~1 ms kernel needs a long
+        # chain for the slope to rise above tunnel jitter
         emit(f"batch local {npairs}x{plen}bp device-resident",
-             _time(f4), npairs * plen * plen)
+             _time(f4, reps=5, k=24), npairs * plen * plen)
 
     # config 4b: many-pair batched CONSTRUCTION (alignments, not
     # scores). On TPU this is ONE fused dispatch per shape bucket
