@@ -962,3 +962,122 @@ def walk_batch_ends(preds, q, s, ms, ns, ends, mode: Mode):
     os_ = os_.at[:, L - 1].set(EMPTY_SYM)
     starts = jnp.stack([i + 1, j + 1], axis=1)
     return oq, os_, starts
+
+
+@functools.partial(jax.jit, static_argnames=("sc",))
+def preds_walk_batch_affine(q, s, ms, ns, sc, sgap, egap):
+    """Affine terminal stripes: pred sweep + on-device batched 3-state
+    walk fused in ONE jitted call (the Myers-Miller terminal phase
+    without the O(B*M*N) packed-pred fetch; linear analog:
+    preds_walk_batch). Returns (out_q, out_s, scores) where scores[b]
+    is the stripe's global affine score read from the H (or, when the
+    path must leave the stripe inside a horizontal run, E) boundary
+    column -- the root score when the whole problem is one terminal."""
+    preds, cols_h, cols_e = preds_batch_affine(q, s, ms, ns, sc, sgap)
+    oq, os_, _ = walk_batch_affine(preds, q, s, ms, ns, sgap, egap)
+    barange = jnp.arange(q.shape[0])
+    hm = (ms - 1).astype(jnp.int32)
+    scores = jnp.where(egap, cols_e[hm, barange], cols_h[hm, barange])
+    return oq, os_, scores
+
+
+@jax.jit
+def walk_batch_affine(preds, q, s, ms, ns, sgap, egap):
+    """On-device batched affine (Gotoh) 3-state traceback walk over
+    packed predecessor planes (bits 0-1 PH, bit 2 PE-extend, bit 3
+    PF-extend; preds_batch_affine packing) with the Myers-Miller
+    terminal halo applied arithmetically (host analog:
+    hirschberg._haloed_affine_preds_mm feeding
+    ref/oracle_affine.traceback_affine):
+
+      i < 0 -> PH = PRED_GAP_Q; PE = 1 if sgap else (j >= 1); PF = 0
+      j < 0 -> PH = PRED_GAP_S; PE = 0; PF = (i >= 1)
+      both  -> walk ends
+
+    ``egap`` starts the walk inside a horizontal run (E state) -- the
+    device form of the host path's PH[h, w] = PRED_GAP_Q injection.
+    State transitions are fused with their first gap emission (the host
+    walk spends a no-write iteration switching state), so every live
+    step writes exactly one output position and the walk finishes
+    within M + N steps. Output convention as walk_batch_ends: (B, L)
+    uint8 sparse buffers, cell (i, j) at position i + j + 1, '_' gaps.
+    Returns (out_q, out_s, starts)."""
+    from anyseq_tpu.core.types import (
+        EMPTY_SYM, GAP_SYM, PRED_GAP_Q, PRED_GAP_S, PRED_NO_GAP,
+        PRED_NONE,
+    )
+
+    B, M, N = preds.shape
+    L = M + N + 1
+    steps = M + N
+    flat = preds.reshape(B, M * N).astype(jnp.int32)
+    ms = ms.astype(jnp.int32)
+    ns = ns.astype(jnp.int32)
+    barange = jnp.arange(B)
+    sgap = jnp.asarray(sgap)
+    egap = jnp.asarray(egap)
+
+    def body(st, _):
+        i, j, state, dead = st
+        c = jnp.take_along_axis(
+            flat, (jnp.maximum(i, 0) * N + jnp.maximum(j, 0))[:, None],
+            axis=1,
+        )[:, 0]
+        ineg = i < 0
+        jneg = j < 0
+        ph = jnp.where(
+            ineg, PRED_GAP_Q, jnp.where(jneg, PRED_GAP_S, c & 3)
+        )
+        pe = jnp.where(
+            ineg, jnp.where(sgap, 1, (j >= 1).astype(jnp.int32)),
+            jnp.where(jneg, 0, (c >> 2) & 1),
+        )
+        pf = jnp.where(
+            jneg, (i >= 1).astype(jnp.int32),
+            jnp.where(ineg, 0, (c >> 3) & 1),
+        )
+
+        in_h = state == 0
+        dead = dead | (ineg & jneg) | (in_h & (ph == PRED_NONE))
+        eff = jnp.where(
+            in_h, ph, jnp.where(state == 1, PRED_GAP_Q, PRED_GAP_S)
+        )
+        diag = (~dead) & (eff == PRED_NO_GAP)
+        eact = (~dead) & (eff == PRED_GAP_Q)
+        fact = (~dead) & (eff == PRED_GAP_S)
+
+        qsym = jnp.take_along_axis(
+            q, jnp.maximum(i, 0)[:, None], axis=1
+        )[:, 0].astype(jnp.int32)
+        ssym = jnp.take_along_axis(
+            s, jnp.maximum(j, 0)[:, None], axis=1
+        )[:, 0].astype(jnp.int32)
+        sym_q = jnp.where(diag | fact, qsym, jnp.int32(GAP_SYM))
+        sym_s = jnp.where(diag | eact, ssym, jnp.int32(GAP_SYM))
+        live = diag | eact | fact
+        pos = jnp.where(live, i + j + 1, L - 1)
+        # next state: diag -> H; E/F stay iff the packed bit says the
+        # run EXTENDS past this cell (bit == 1)
+        nstate = jnp.where(
+            eact & (pe != 0), 1, jnp.where(fact & (pf != 0), 2, 0)
+        )
+        i = i - (diag | fact).astype(jnp.int32)
+        j = j - (diag | eact).astype(jnp.int32)
+        state = jnp.where(dead, state, nstate)
+        return (i, j, state, dead), (
+            pos, sym_q.astype(jnp.uint8), sym_s.astype(jnp.uint8)
+        )
+
+    state0 = jnp.where(egap, 1, 0).astype(jnp.int32)
+    (i, j, _, _), (posb, sqb, ssb) = jax.lax.scan(
+        body,
+        (ms - 1, ns - 1, state0, jnp.zeros(B, bool)),
+        None, length=steps,
+    )
+    oq0 = jnp.full((B, L), EMPTY_SYM, jnp.uint8)
+    oq = oq0.at[barange[None, :], posb].set(sqb)
+    os_ = oq0.at[barange[None, :], posb].set(ssb)
+    oq = oq.at[:, L - 1].set(EMPTY_SYM)
+    os_ = os_.at[:, L - 1].set(EMPTY_SYM)
+    starts = jnp.stack([i + 1, j + 1], axis=1)
+    return oq, os_, starts

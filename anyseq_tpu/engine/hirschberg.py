@@ -787,6 +787,7 @@ def _hb_global_affine(q8, s8, off_i, off_j, out_q, out_s, sc, engine,
             sp_min_width = 2048 * n_dev
 
     while active:
+        _lt0 = time.perf_counter()
         parts = active
         active = []
         P = len(parts)
@@ -828,6 +829,8 @@ def _hb_global_affine(q8, s8, off_i, off_j, out_q, out_s, sc, engine,
                     root_score = score
                 classify((qlo, qlo + k + 1, slo, slo + mid, sg, in_gap))
                 classify((qlo + k + 1, qhi, slo + mid, shi, in_gap, eg))
+            _tlog(f"aff level P={P} maxh={max(hs)} maxmid={max(mids)} "
+                  f"path=mesh-sp {(time.perf_counter()-_lt0)*1e3:.0f}ms")
             _save_level()
             continue
 
@@ -869,6 +872,8 @@ def _hb_global_affine(q8, s8, off_i, off_j, out_q, out_s, sc, engine,
                     root_score = score
                 classify((qlo, qlo + k + 1, slo, slo + mid, sg, in_gap))
                 classify((qlo + k + 1, qhi, slo + mid, shi, in_gap, eg))
+            _tlog(f"aff level P={P} maxh={max(hs)} maxmid={max(mids)} "
+                  f"path=per-half {(time.perf_counter()-_lt0)*1e3:.0f}ms")
             _save_level()
             continue
 
@@ -929,10 +934,14 @@ def _hb_global_affine(q8, s8, off_i, off_j, out_q, out_s, sc, engine,
                 root_score = score
             classify((qlo, qlo + k + 1, slo, slo + mid, sg, in_gap))
             classify((qlo + k + 1, qhi, slo + mid, shi, in_gap, eg))
+        _tlog(f"aff level P={P} maxh={max(hs)} maxmid={max(mids)} "
+              f"path={'mesh-batch' if mesh is not None else 'batched-kernel' if (use_kernel and max(hs) <= band.M_MAX) else 'xla-batch'} "
+              f"{(time.perf_counter()-_lt0)*1e3:.0f}ms")
         _save_level()
 
     # Terminal stripes, batched by shape bucket (chunk index `ci` is the
     # checkpoint resume unit).
+    _tt0 = time.perf_counter()
     from anyseq_tpu.core.types import PRED_GAP_Q
     from anyseq_tpu.engine import tb
 
@@ -955,6 +964,7 @@ def _hb_global_affine(q8, s8, off_i, off_j, out_q, out_s, sc, engine,
             ms = np.empty(B, np.int32)
             ns = np.empty(B, np.int32)
             sgaps = np.zeros(B, bool)
+            egaps = np.zeros(B, bool)
             for b, (qlo, qhi, slo, shi, sg, eg) in enumerate(chunk):
                 h, w = qhi - qlo, shi - slo
                 qarr[b, :h] = q32[qlo:qhi]
@@ -962,41 +972,68 @@ def _hb_global_affine(q8, s8, off_i, off_j, out_q, out_s, sc, engine,
                 ms[b] = h
                 ns[b] = w
                 sgaps[b] = sg
+                egaps[b] = eg
             if mesh is not None:
                 preds, cols_h, cols_e = dist_batch.preds_batch_affine_sharded(
                     jnp.asarray(qarr), jnp.asarray(sarr),
                     jnp.asarray(ms), jnp.asarray(ns), sc,
                     jnp.asarray(sgaps), mesh,
                 )
-            else:
-                preds, cols_h, cols_e = batch.preds_batch_affine(
-                    jnp.asarray(qarr), jnp.asarray(sarr),
-                    jnp.asarray(ms), jnp.asarray(ns), sc,
-                    jnp.asarray(sgaps),
-                )
-            preds = dist_batch.fetch(preds)
-            cols_h = dist_batch.fetch(cols_h)
-            cols_e = dist_batch.fetch(cols_e)
-            for b, (qlo, qhi, slo, shi, sg, eg) in enumerate(chunk):
-                h, w = qhi - qlo, shi - slo
-                if root_score is None and (qhi - qlo, shi - slo) == (m, n):
-                    # The whole problem was one terminal stripe.
-                    root_score = int(
-                        (cols_e if eg else cols_h)[h - 1, b]
+                preds = dist_batch.fetch(preds)
+                cols_h = dist_batch.fetch(cols_h)
+                cols_e = dist_batch.fetch(cols_e)
+                for b, (qlo, qhi, slo, shi, sg, eg) in enumerate(chunk):
+                    h, w = qhi - qlo, shi - slo
+                    if (root_score is None
+                            and (qhi - qlo, shi - slo) == (m, n)):
+                        # The whole problem was one terminal stripe.
+                        root_score = int(
+                            (cols_e if eg else cols_h)[h - 1, b]
+                        )
+                    PH, PE, PF = _haloed_affine_preds_mm(
+                        preds[b, :h, :w], h, w, sg
                     )
-                PH, PE, PF = _haloed_affine_preds_mm(
-                    preds[b, :h, :w], h, w, sg
+                    if eg:
+                        # Start the walk in E state: the path must leave
+                        # the stripe's last cell inside a horizontal run.
+                        PH[h, w] = PRED_GAP_Q
+                    tb.walk_affine(
+                        q8[qlo:qhi], s8[slo:shi], PH, PE, PF,
+                        (h - 1, w - 1),
+                        out_q, out_s, off_i + qlo, off_j + slo,
+                    )
+            else:
+                # Fused pred sweep + on-device 3-state walk: ONE
+                # dispatch, ONE fetch of the O(B*(H+W)) aligned strings
+                # (the dense packed-pred fetch + per-stripe host walks
+                # dominated the affine terminal phase on tunneled TPUs).
+                oq, osub, tscores = jax.device_get(
+                    batch.preds_walk_batch_affine(
+                        jnp.asarray(qarr), jnp.asarray(sarr),
+                        jnp.asarray(ms), jnp.asarray(ns), sc,
+                        jnp.asarray(sgaps), jnp.asarray(egaps),
+                    )
                 )
-                if eg:
-                    # Start the walk in E state: the path must leave the
-                    # stripe's last cell inside a horizontal run.
-                    PH[h, w] = PRED_GAP_Q
-                tb.walk_affine(
-                    q8[qlo:qhi], s8[slo:shi], PH, PE, PF, (h - 1, w - 1),
-                    out_q, out_s, off_i + qlo, off_j + slo,
-                )
+                from anyseq_tpu.core.types import EMPTY_SYM
+                for b, (qlo, qhi, slo, shi, sg, eg) in enumerate(chunk):
+                    h, w = qhi - qlo, shi - slo
+                    if (root_score is None
+                            and (qhi - qlo, shi - slo) == (m, n)):
+                        root_score = int(tscores[b])
+                    base = off_i + qlo + off_j + slo
+                    # Copy only walked path positions (EMPTY slots may
+                    # belong to other writers of the shared sparse
+                    # buffer), exactly as the linear terminal phase.
+                    ln = min(h + w, len(out_q) - base)
+                    seg_q = oq[b, :ln]
+                    seg_s = osub[b, :ln]
+                    sel = (seg_q != EMPTY_SYM) | (seg_s != EMPTY_SYM)
+                    out_q[base: base + ln][sel] = seg_q[sel]
+                    out_s[base: base + ln][sel] = seg_s[sel]
             term_done = ci + 1
             _save_level()
+    _tlog(f"aff terminals n={len(terminals)} "
+          f"{(time.perf_counter()-_tt0)*1e3:.0f}ms")
     return root_score
 
 
