@@ -777,6 +777,12 @@ def _hb_global_affine(q8, s8, off_i, off_j, out_q, out_s, sc, engine,
     use_kernel = engine in ("auto", "pallas") and band.available()
     from anyseq_tpu.dist import batch as dist_batch  # fetch() on all paths
 
+    # Device-resident sequences for the fused kernel levels (uploaded
+    # once; levels then ship only the (P, 6) parts array and fetch only
+    # the per-level split rows + crossing flags + scores).
+    qdev = jnp.asarray(q32) if (use_kernel and mesh is None) else None
+    sdev = jnp.asarray(s32) if (use_kernel and mesh is None) else None
+
     if mesh is not None:
         import math
 
@@ -876,6 +882,61 @@ def _hb_global_affine(q8, s8, off_i, off_j, out_q, out_s, sc, engine,
                   f"path=per-half {(time.perf_counter()-_lt0)*1e3:.0f}ms")
             _save_level()
             continue
+
+        if mesh is None and use_kernel and max(hs) <= band.M_MAX:
+            # Fully on-device fused levels: gather halves from the
+            # resident sequences, sweep + merge + build children on
+            # device for EVERY remaining divide level in one dispatch
+            # (half widths halve deterministically, so the remaining
+            # depth is known up front); only the per-level (2^d * P,)
+            # split rows / crossing flags / scores come back. Children
+            # the host classifies as terminal are swept as harmless
+            # garbage rows and their deeper entries ignored.
+            wmax = max(p[3] - p[2] for p in parts)
+            D = 0
+            wcur = wmax
+            while wcur > min_width and wcur >= 2 and D < 6:
+                D += 1
+                wcur = (wcur + 1) // 2
+            fused = band.score_levels_fused_affine(
+                qdev, sdev, np.asarray(parts, np.int64), sc,
+                depth=max(D, 1),
+            )
+            if fused is not None:
+                lvl_parts = list(parts)
+                Dr = len(fused)
+                for d, (ks_d, gp_d, sc_d) in enumerate(fused):
+                    nxt = []
+                    for idx, part in enumerate(lvl_parts):
+                        if part is None:
+                            nxt += [None, None]
+                            continue
+                        qlo, qhi, slo, shi, sgf, egf = part
+                        if root_score is None:
+                            root_score = int(sc_d[idx])
+                        k = int(ks_d[idx])
+                        cross = bool(gp_d[idx])
+                        mid = (shi - slo) // 2
+                        kids = (
+                            (qlo, qlo + k + 1, slo, slo + mid, sgf,
+                             cross),
+                            (qlo + k + 1, qhi, slo + mid, shi, cross,
+                             egf),
+                        )
+                        for c in kids:
+                            hC, wC = c[1] - c[0], c[3] - c[2]
+                            if (d + 1 < Dr and hC > 1
+                                    and wC > min_width and wC >= 2):
+                                nxt.append(c)
+                            else:
+                                classify(c)
+                                nxt.append(None)
+                    lvl_parts = nxt
+                _tlog(f"aff level P={P} x{Dr} maxh={max(hs)} "
+                      f"maxmid={max(mids)} path=device-fused "
+                      f"{(time.perf_counter()-_lt0)*1e3:.0f}ms")
+                _save_level()
+                continue
 
         Mb = batch._bucket(max(hs))
         Nb = batch._bucket(max(max(mids), max(

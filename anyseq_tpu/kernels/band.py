@@ -1998,6 +1998,215 @@ def score_levels_fused(q_dev, s_dev, parts_np, sc, depth=2,
     return [(np.asarray(k), np.asarray(s)) for k, s in zip(ks, scs)]
 
 
+def _merge_cols_affine(HL, EL, HR, ER, hs, mids, rws, sg, eg, go, ge,
+                       Mb):
+    """Device Myers-Miller merge, vectorized over parts: over
+    k in [-1, h-1], type1 = HL[k] + HR[h-2-k] (cut crossed in H state),
+    type2 = EL[k] + ER[h-2-k] - gap_open (one horizontal run spans the
+    cut), with the closed-form k = -1 / h-1 all-gap boundary entries
+    whose gap_open is dropped when the part's own start/end flag says
+    the run is paid by the caller. Bit-parity with the host merge
+    (engine/hirschberg._merge_halves_affine): first-max ties -> smallest
+    k, type1 wins equal bests. HL/EL/HR/ER: (P, Mb); returns
+    (k, crosses_in_gap, score)."""
+    closedL = (mids * ge + jnp.where(sg != 0, 0, go)).astype(jnp.int32)
+    closedR = (rws * ge + jnp.where(eg != 0, 0, go)).astype(jnp.int32)
+    kk = jnp.arange(Mb + 1, dtype=jnp.int32)[None, :]
+    h_ = hs[:, None]
+
+    def left(C):
+        v = jnp.take_along_axis(C, jnp.clip(kk - 1, 0, Mb - 1), 1)
+        return jnp.where(kk == 0, closedL[:, None], v)
+
+    def right(C):
+        v = jnp.take_along_axis(C, jnp.clip(h_ - 1 - kk, 0, Mb - 1), 1)
+        return jnp.where(kk == h_, closedR[:, None], v)
+
+    invalid = kk > h_
+    neg = jnp.int32(-(2**30))
+    t1 = jnp.where(invalid, neg, left(HL) + right(HR))
+    t2 = jnp.where(invalid, neg, left(EL) + right(ER) - go)
+    b1 = jnp.max(t1, 1)
+    b2 = jnp.max(t2, 1)
+    type1 = b1 >= b2
+    k = jnp.where(
+        type1, jnp.argmax(t1, 1), jnp.argmax(t2, 1)
+    ).astype(jnp.int32) - 1
+    return k, ~type1, jnp.maximum(b1, b2)
+
+
+def _level_affine_device(q_dev, s_dev, parts, sc, G, NW, PPE, EPP, Mb,
+                         Nb, interpret=False):
+    """One Myers-Miller affine divide level ON DEVICE: gather the 2P
+    half-problems from the resident sequences, run the slotted affine
+    kernel (per-problem start_gap flags ride the dims rows), and merge
+    on device -- the affine analog of :func:`_score_level_padded`
+    (direct orientation: the merge needs both H and E boundary
+    columns). parts: (P, 6) int32 [qlo, qhi, slo, shi, sgap, egap].
+    Returns (k, crosses_in_gap, score), each (P,)."""
+    P = parts.shape[0]
+    B = 2 * P
+    qlo, qhi = parts[:, 0], parts[:, 1]
+    slo, shi = parts[:, 2], parts[:, 3]
+    sg_p, eg_p = parts[:, 4], parts[:, 5]
+    hs = qhi - qlo
+    wd_ = shi - slo
+    mids = wd_ // 2
+    rws = wd_ - mids
+    go, ge = sc.gap_open, sc.gap_extend
+    ii = jnp.arange(Mb, dtype=jnp.int32)
+    jj = jnp.arange(Nb, dtype=jnp.int32)
+    qmax = q_dev.shape[0] - 1
+    smax = s_dev.shape[0] - 1
+    qf = jnp.where(
+        ii[None, :] < hs[:, None],
+        q_dev[jnp.clip(qlo[:, None] + ii[None, :], 0, qmax)], PAD_Q
+    )
+    qr = jnp.where(
+        ii[None, :] < hs[:, None],
+        q_dev[jnp.clip(qhi[:, None] - 1 - ii[None, :], 0, qmax)], PAD_Q
+    )
+    q3 = jnp.stack([qf, qr], 1).reshape(B, Mb)
+    sf = jnp.where(
+        jj[None, :] < mids[:, None],
+        s_dev[jnp.clip(slo[:, None] + jj[None, :], 0, smax)], PAD_S
+    )
+    sr = jnp.where(
+        jj[None, :] < rws[:, None],
+        s_dev[jnp.clip(shi[:, None] - 1 - jj[None, :], 0, smax)], PAD_S
+    )
+    s3 = jnp.stack([sf, sr], 1).reshape(B, Nb)
+    # degenerate rows (garbage children of terminal parts in the fused
+    # depth loop) clamp to 1x1 sweeps; their merges are discarded
+    ms2 = jnp.maximum(jnp.stack([hs, hs], 1).reshape(B), 1)
+    ms2 = ms2.astype(jnp.int32)
+    ns2 = jnp.maximum(jnp.stack([mids, rws], 1).reshape(B), 1)
+    ns2 = ns2.astype(jnp.int32)
+    sg2 = jnp.stack([sg_p, eg_p], 1).reshape(B).astype(jnp.int32)
+    dims = jnp.stack(
+        [ms2, ns2, sg2, jnp.full_like(ms2, jnp.max(ms2))], 1
+    )
+    # closed-form boundary columns (device analog of _slotted_col_init):
+    # H left column unreachable under start_gap, E column always NEG
+    ci = jnp.where(
+        (ii[None, :] < ms2[:, None]) & (sg2[:, None] == 0),
+        go + (ii[None, :] + 1) * ge, NEG
+    ).astype(Score)
+    ce = jnp.full((B, Mb), NEG, Score)
+    res = _score_slotted_padded(
+        q3.reshape(-1, LANES), s3.reshape(-1, LANES), dims,
+        ci.reshape(-1, LANES), ce.reshape(-1, LANES), Mode.GLOBAL, sc,
+        G, NW, PPE, EPP, interpret=interpret,
+    )
+    HC = res["last_cols"][:, :Mb]
+    EC = res["last_cols_e"][:, :Mb]
+    return _merge_cols_affine(
+        HC[0::2], EC[0::2], HC[1::2], EC[1::2],
+        hs, mids, rws, sg_p, eg_p, go, ge, Mb,
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("sc", "plans", "Mb", "Nbs", "depth",
+                              "interpret")
+)
+def _score_levels_fused_affine(q_dev, s_dev, parts, sc, plans, Mb, Nbs,
+                               depth, interpret=False):
+    """``depth`` consecutive Myers-Miller affine divide levels in ONE
+    dispatch: sweep, merge, and build the children parts ON DEVICE
+    (cut = qlo + k + 1, crossing-gap flags propagate to the children's
+    start/end slots) -- the affine analog of :func:`_score_levels_fused`
+    with per-level subject buckets ``Nbs`` (half widths halve
+    deterministically, so deep sub-levels sweep at their own width)."""
+    ks_out, gp_out, sc_out = [], [], []
+    cur = parts
+    for d in range(depth):
+        ks_l, gp_l, sc_l = [], [], []
+        for (lo, cs, (G, NW, PPE, EPP)) in plans[d]:
+            kc, cc, scc = _level_affine_device(
+                q_dev, s_dev, cur[lo: lo + cs], sc, G, NW, PPE, EPP,
+                Mb, Nbs[d], interpret=interpret,
+            )
+            ks_l.append(kc)
+            gp_l.append(cc)
+            sc_l.append(scc)
+        k = jnp.concatenate(ks_l)
+        crosses = jnp.concatenate(gp_l)
+        s = jnp.concatenate(sc_l)
+        ks_out.append(k)
+        gp_out.append(crosses)
+        sc_out.append(s)
+        if d + 1 < depth:
+            qlo, qhi = cur[:, 0], cur[:, 1]
+            slo, shi = cur[:, 2], cur[:, 3]
+            h = qhi - qlo
+            kk = jnp.clip(k, -1, jnp.maximum(h - 1, -1))
+            cut = jnp.clip(qlo + kk + 1, qlo, qhi)
+            smid = slo + (shi - slo) // 2
+            cr = crosses.astype(cur.dtype)
+            c1 = jnp.stack([qlo, cut, slo, smid, cur[:, 4], cr], 1)
+            c2 = jnp.stack([cut, qhi, smid, shi, cr, cur[:, 5]], 1)
+            cur = jnp.stack([c1, c2], 1).reshape(-1, 6)
+    return ks_out, gp_out, sc_out
+
+
+def score_levels_fused_affine(q_dev, s_dev, parts_np, sc, depth=2,
+                              interpret=False):
+    """Host driver for :func:`_score_levels_fused_affine`. Returns a
+    list of (ks, crosses, scores) numpy triples, one per sub-level
+    (sub-level d has 2^d * P rows in device child order) -- possibly
+    fewer than ``depth`` when a deeper sub-level's slot plan or VMEM
+    budget fails -- or None when even the first level is ineligible."""
+    hs = parts_np[:, 1] - parts_np[:, 0]
+    ws = parts_np[:, 3] - parts_np[:, 2]
+    m_max = int(hs.max())
+    Mb = _bucket(m_max, W)
+    if Mb - m_max < LANES:
+        Mb = _round_up(m_max + LANES, W)
+    if Mb > M_MAX:
+        return None
+    MRb = Mb // LANES
+    SRp = (_round_up(Mb + 2 * W, W) // W) * R
+    wcur = int(ws.max())
+    Nbs, plans = [], []
+    for d in range(depth):
+        hw = max((wcur + 1) // 2, 1)    # max half width at this level
+        Nb = _bucket(hw, W)
+        NW = Nb // W
+        if NW > 20:
+            break
+        P_d = len(parts_np) * (2 ** d)
+        # scoped-VMEM budget per pallas_call (affine: q + 2 col inits +
+        # 2 col scratch + s + last_rows + 2 ecol stages); deep levels
+        # that exceed it split into chunked calls WITHIN the one
+        # dispatch (each chunk is its own slotted launch)
+        rows_pp = MRb * 5 + NW * R * 2 + SRp * 2
+        per_prob = rows_pp * LANES * 4
+        cs = min(max(1, (12 << 20) // (2 * per_prob)), P_d)
+        while P_d % cs:
+            cs -= 1        # equal chunks: ONE kernel shape per level
+        if P_d // cs > 4:
+            break          # deeper entries re-enter the fused path
+        plan = _slotted_plan(2 * cs, Mb, Nb, None)
+        if plan is None:
+            break
+        chunk_list = [(lo, cs, plan) for lo in range(0, P_d, cs)]
+        Nbs.append(Nb)
+        plans.append(tuple(chunk_list))
+        wcur = hw
+    if not plans:
+        return None
+    ks, gps, scs = _score_levels_fused_affine(
+        q_dev, s_dev, jnp.asarray(parts_np.astype(np.int32)), sc,
+        tuple(plans), Mb, tuple(Nbs), len(plans), interpret=interpret,
+    )
+    ks = jax.device_get(ks)
+    gps = jax.device_get(gps)
+    scs = jax.device_get(scs)
+    return [(np.asarray(k), np.asarray(g), np.asarray(s))
+            for k, g, s in zip(ks, gps, scs)]
+
+
 def _hb_merge_cols(L, Rv, h, mid_w, right_w, g, Mb):
     """Device hb_sum: F(j) = L[j-1] + R[h-1-j] over j in [0, h] with
     the all-gap edge candidates (reference traceback_lintime.impala:
