@@ -76,7 +76,10 @@ def _tlog(msg):
 # P = 16 parts costs more than the level's entire compute -- one launch
 # per level is the dispatch-minimal shape (the reference runs the same
 # hot loop for all halves in one sweep, iteration_cpu.impala:59-119).
-KERNEL_MAX_PARTS = 4
+# P = 8 measured faster per-half than the batched launch at genome
+# scale (951 vs 1025 ms at 1 Mbp: the 16 async dispatches pipeline, and
+# the >= 32768 width gate keeps narrow levels on the batched launch).
+KERNEL_MAX_PARTS = 8
 KERNEL_MIN_MID = 2048
 
 
